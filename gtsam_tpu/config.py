@@ -1,0 +1,42 @@
+"""Global configuration for gtsam_tpu.
+
+The reference (borglab/gtsam) is a double-precision C++ library; chi2/ATE parity
+therefore requires float64 in the solver core.  JAX disables x64 by default, so we
+enable it at import time (set GTSAM_TPU_NO_X64=1 to opt out, e.g. for pure-f32
+TPU speed runs).  The compute dtype used by solvers is configurable: float64 for
+parity, float32 (+ iterative refinement, see linear/) for TPU speed-of-light.
+
+Reference analog: gtsam/config.h.in compile-time options (SURVEY.md §5.6).
+"""
+
+import os
+
+import jax
+
+if not os.environ.get("GTSAM_TPU_NO_X64"):
+    jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: TPU compiles (esp. emulated f64) are expensive;
+# cache them across processes.
+_cache_dir = os.environ.get(
+    "GTSAM_TPU_COMPILATION_CACHE", os.path.expanduser("~/.cache/gtsam_tpu_xla"))
+if _cache_dir:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # older jax without these flags
+        pass
+
+import jax.numpy as jnp  # noqa: E402  (after x64 config)
+
+# Default dtype for solver-core arithmetic.
+_DEFAULT_DTYPE = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def default_dtype():
+    return _DEFAULT_DTYPE
+
+
+def set_default_dtype(dtype) -> None:
+    global _DEFAULT_DTYPE
+    _DEFAULT_DTYPE = jnp.dtype(dtype)

@@ -1,0 +1,157 @@
+"""Typed factor batches.
+
+The reference dispatches a virtual linearize() per factor object
+(gtsam/nonlinear/NonlinearFactor.h:296).  Here, ALL factors of one type form a
+single FactorBatch: struct-of-arrays measurements + (N, arity) key table.  Error
+is one vmapped residual; linearization is vmapped forward-mode autodiff of the
+tangent-perturbed residual (the JAX-native replacement for both GTSAM's
+hand-written evaluateError Jacobians and its Expression AD,
+gtsam/nonlinear/Expression.h:47).  Analytic-Jacobian fast paths can be added
+per-type later; autodiff of our analytic expmaps already yields the same values.
+
+Each residual_fn has signature  (xs: tuple_of_elements, meas_row) -> (rdim,)
+for a SINGLE factor; batching is the framework's job.
+"""
+
+import dataclasses
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..base.noise import NoiseModel
+from . import manifolds
+
+
+@dataclasses.dataclass
+class FactorBatch:
+    name: str
+    var_types: Tuple[str, ...]       # manifold type of each slot
+    keys: np.ndarray                 # (N, arity) int64, host-side
+    rdim: int
+    residual_fn: Callable            # (xs, meas) -> (rdim,)
+    measurements: Any                # pytree with leading dim N (or None)
+    noise: NoiseModel
+
+    def __post_init__(self):
+        self.keys = np.atleast_2d(np.asarray(self.keys, dtype=np.int64))
+
+    @property
+    def num_factors(self) -> int:
+        return self.keys.shape[0]
+
+    @property
+    def arity(self) -> int:
+        return self.keys.shape[1]
+
+    def dims(self) -> Tuple[int, ...]:
+        return tuple(manifolds.get(t).dim for t in self.var_types)
+
+
+def residuals(batch: FactorBatch, xs):
+    """Batched unwhitened residuals: xs = tuple of stacked elements per slot."""
+    def one(xs_one, meas_one):
+        return batch.residual_fn(xs_one, meas_one)
+    return jax.vmap(one)(xs, batch.measurements)
+
+
+def linearize(batch: FactorBatch, xs):
+    """Batched whitened Jacobians/residuals in tangent space.
+
+    Returns (A: tuple of (N, rdim, d_i), b: (N, rdim)) with convention
+    ||A dx - b||^2,  b = -whitened_residual.
+    """
+    dims = batch.dims()
+    retracts = tuple(manifolds.get(t).retract for t in batch.var_types)
+
+    def res_tangent(deltas, xs_one, meas_one):
+        xs_p = tuple(r(x, d) for r, x, d in zip(retracts, xs_one, deltas))
+        return batch.residual_fn(xs_p, meas_one)
+
+    def one(xs_one, meas_one):
+        zeros = tuple(jnp.zeros(d, dtype=jnp.result_type(float)) for d in dims)
+        J = jax.jacfwd(res_tangent)(zeros, xs_one, meas_one)
+        r = res_tangent(zeros, xs_one, meas_one)
+        return J, r
+
+    J, r = jax.vmap(one)(xs, batch.measurements)
+    wr = batch.noise.whiten(r)
+    wJ = tuple(batch.noise.whiten_jacobian(Ji) for Ji in J)
+    w = batch.noise.robust_weights(wr)
+    if w is not None:
+        wr = wr * w[:, None]
+        wJ = tuple(Ji * w[:, None, None] for Ji in wJ)
+    return wJ, -wr
+
+
+# -- concrete factor constructors -----------------------------------------
+
+
+def _between_residual(tname):
+    from ..geometry import se2, se3, so3  # local import to avoid cycles
+
+    if tname == "SE3":
+        def fn(xs, meas):
+            return se3.local(meas, se3.between(xs[0], xs[1]))
+    elif tname == "SE2":
+        def fn(xs, meas):
+            return se2.local(meas, se2.between(xs[0], xs[1]))
+    elif tname == "SO3":
+        def fn(xs, meas):
+            return so3.local(meas, so3.between(xs[0], xs[1]))
+    else:
+        mt = manifolds.get(tname)
+        def fn(xs, meas):
+            return mt.local(meas, xs[1] - xs[0])
+    return fn
+
+
+def _prior_residual(tname):
+    mt = manifolds.get(tname)
+
+    def fn(xs, meas):
+        return mt.local(meas, xs[0])
+
+    return fn
+
+
+def between_factors(tname: str, keys1, keys2, measurements, noise: NoiseModel,
+                    name=None) -> FactorBatch:
+    """BetweenFactor<T> batch: error = Local(measured, between(x1, x2)).
+
+    Reference: gtsam/slam/BetweenFactor.h.
+    """
+    keys = np.stack([np.asarray(keys1), np.asarray(keys2)], axis=1)
+    return FactorBatch(
+        name=name or f"Between{tname}",
+        var_types=(tname, tname),
+        keys=keys,
+        rdim=manifolds.get(tname).dim,
+        residual_fn=_between_residual(tname),
+        measurements=measurements,
+        noise=noise,
+    )
+
+
+def prior_factors(tname: str, keys, measurements, noise: NoiseModel,
+                  name=None) -> FactorBatch:
+    """PriorFactor<T> batch: error = Local(prior, x).  Reference: gtsam/slam/PriorFactor.h."""
+    keys = np.asarray(keys).reshape(-1, 1)
+    return FactorBatch(
+        name=name or f"Prior{tname}",
+        var_types=(tname,),
+        keys=keys,
+        rdim=manifolds.get(tname).dim,
+        residual_fn=_prior_residual(tname),
+        measurements=measurements,
+        noise=noise,
+    )
+
+
+def custom_factors(name: str, var_types, keys, residual_fn, rdim,
+                   measurements, noise: NoiseModel) -> FactorBatch:
+    """Arbitrary user residual — the CustomFactor/ExpressionFactor analog
+    (gtsam/nonlinear/CustomFactor.h:36); Jacobians come from JAX autodiff."""
+    return FactorBatch(name, tuple(var_types), np.asarray(keys), rdim,
+                       residual_fn, measurements, noise)

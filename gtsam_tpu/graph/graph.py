@@ -1,0 +1,124 @@
+"""FactorGraph: a list of typed factor batches, and its bound (static) form.
+
+The reference's NonlinearFactorGraph linearizes factor-by-factor with TBB
+(gtsam/nonlinear/NonlinearFactorGraph.cpp:239-274).  Here `bind()` freezes the
+graph structure against a Values' key table (host-side work done once), yielding
+pure array->array functions suitable for jit: error, linearization, and dense
+Gauss-Newton assembly (scatter-add of per-batch blocks into H, g).
+"""
+
+import dataclasses
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import factors as factors_mod
+from . import manifolds
+from .values import Layout, Values
+
+
+class FactorGraph:
+    def __init__(self, batches: List[factors_mod.FactorBatch] = None):
+        self.batches: List[factors_mod.FactorBatch] = list(batches or [])
+
+    def add(self, batch: factors_mod.FactorBatch) -> "FactorGraph":
+        self.batches.append(batch)
+        return self
+
+    @property
+    def num_factors(self) -> int:
+        return sum(b.num_factors for b in self.batches)
+
+    def keys(self):
+        out = set()
+        for b in self.batches:
+            out.update(int(k) for k in b.keys.reshape(-1))
+        return out
+
+    def error(self, values: Values):
+        return self.bind(values).error(values.arrays)
+
+    def bind(self, values: Values) -> "BoundGraph":
+        return BoundGraph(self, values)
+
+
+@dataclasses.dataclass(frozen=True)
+class _BatchStructure:
+    rows: Tuple[np.ndarray, ...]       # per slot: (N,) row index into type array
+    col_offsets: Tuple[np.ndarray, ...]  # per slot: (N,) global column offset
+
+
+class BoundGraph:
+    """Graph structure frozen against a Values key table; methods are jit-safe."""
+
+    def __init__(self, graph: FactorGraph, values: Values):
+        self.graph = graph
+        self.layout: Layout = values.layout()
+        self.structures: List[_BatchStructure] = []
+        for b in graph.batches:
+            rows, offs = [], []
+            for s, t in enumerate(b.var_types):
+                r = values.rows_of(t, b.keys[:, s])
+                rows.append(r)
+                offs.append(self.layout.offsets[t][r])
+            self.structures.append(_BatchStructure(tuple(rows), tuple(offs)))
+
+    # -- pure functions over values.arrays --------------------------------
+
+    def error(self, arrays):
+        """Total graph error: sum of per-batch noise-model errors (chi2/2)."""
+        total = jnp.zeros((), dtype=jnp.result_type(float))
+        for b, st in zip(self.graph.batches, self.structures):
+            xs = tuple(
+                jax.tree.map(lambda a: a[st.rows[s]], arrays[t])
+                for s, t in enumerate(b.var_types)
+            )
+            r = factors_mod.residuals(b, xs)
+            total = total + b.noise.error(r)
+        return total
+
+    def linearize(self, arrays):
+        """Per-batch whitened (A, b) blocks; returns list of (wJ tuple, b)."""
+        out = []
+        for b, st in zip(self.graph.batches, self.structures):
+            xs = tuple(
+                jax.tree.map(lambda a: a[st.rows[s]], arrays[t])
+                for s, t in enumerate(b.var_types)
+            )
+            out.append(factors_mod.linearize(b, xs))
+        return out
+
+    def gn_system(self, arrays):
+        """Dense Gauss-Newton normal equations: returns (H, g).
+
+        H = J^T J, g = J^T b (b = -whitened residual), both in the canonical
+        tangent layout.  Reference analog: linearizeToHessianFactor
+        (NonlinearFactorGraph.cpp:312) + Scatter assembly (HessianFactor.cpp:239).
+        """
+        D = self.layout.total_dim
+        dt = jnp.result_type(float)
+        H = jnp.zeros((D, D), dtype=dt)
+        g = jnp.zeros(D, dtype=dt)
+        lin = self.linearize(arrays)
+        for (wJ, bvec), bt, st in zip(lin, self.graph.batches, self.structures):
+            dims = bt.dims()
+            for i in range(bt.arity):
+                gi = jnp.einsum("nrd,nr->nd", wJ[i], bvec)
+                gidx = st.col_offsets[i][:, None] + np.arange(dims[i])[None, :]
+                g = g.at[gidx].add(gi)
+                for j in range(i, bt.arity):
+                    Hij = jnp.einsum("nri,nrj->nij", wJ[i], wJ[j])
+                    ridx = st.col_offsets[i][:, None, None] + np.arange(dims[i])[None, :, None]
+                    cidx = st.col_offsets[j][:, None, None] + np.arange(dims[j])[None, None, :]
+                    H = H.at[ridx, cidx].add(Hij)
+                    if j > i:
+                        H = H.at[jnp.swapaxes(cidx, 1, 2), jnp.swapaxes(ridx, 1, 2)].add(
+                            jnp.swapaxes(Hij, 1, 2))
+        return H, g
+
+    def gradient(self, arrays):
+        """Gradient of 0.5*chi2 at arrays (negative of g): autodiff-free."""
+        _, g = self.gn_system(arrays)
+        return -g

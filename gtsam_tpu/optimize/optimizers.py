@@ -1,0 +1,245 @@
+"""Batch nonlinear optimizers: Gauss-Newton, Levenberg-Marquardt, Dogleg.
+
+Semantics mirror the reference drivers:
+  - NonlinearOptimizer::defaultOptimize / checkConvergence
+    (gtsam/nonlinear/NonlinearOptimizer.cpp:62-120, :182)
+  - LevenbergMarquardtOptimizer::iterate / tryLambda
+    (gtsam/nonlinear/LevenbergMarquardtOptimizer.cpp:121-273)
+  - DoglegOptimizerImpl (gtsam/nonlinear/DoglegOptimizerImpl.h:95,138)
+
+The outer loop runs on host (few iterations, each a single jitted device
+computation: linearize + assemble + factorize + retract).  Solvers are
+pluggable; the default dense Cholesky path is correct for small/medium graphs,
+with the sparse supernodal path (linear/) used for large ones.
+"""
+
+import dataclasses
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.graph import FactorGraph
+from ..graph.values import Values, retract_arrays
+
+
+@dataclasses.dataclass
+class OptimizerParams:
+    max_iterations: int = 100
+    relative_error_tol: float = 1e-5
+    absolute_error_tol: float = 1e-5
+    error_tol: float = 0.0
+    verbose: bool = False
+
+
+@dataclasses.dataclass
+class LMParams(OptimizerParams):
+    lambda_initial: float = 1e-5
+    lambda_factor: float = 10.0
+    lambda_upper_bound: float = 1e5
+    lambda_lower_bound: float = 0.0
+    diagonal_damping: bool = False
+    min_diagonal: float = 1e-6   # LevenbergMarquardtOptimizer.cpp damping clamps
+    max_diagonal: float = 1e32
+
+
+@dataclasses.dataclass
+class DoglegParams(OptimizerParams):
+    initial_delta: float = 1.0
+
+
+@dataclasses.dataclass
+class OptimizeResult:
+    values: Values
+    error: float
+    iterations: int
+    converged: bool
+    history: list
+
+
+def check_convergence(current: float, new: float, p: OptimizerParams) -> bool:
+    """Reference NonlinearOptimizer.cpp:182 checkConvergence."""
+    if new <= p.error_tol:
+        return True
+    delta = abs(current - new)
+    return (delta <= p.absolute_error_tol
+            or delta <= p.relative_error_tol * max(current, 1e-300))
+
+
+def _dense_solve(H, g, lam, diagonal_damping, min_diag=1e-6, max_diag=1e32):
+    """Solve (H + damping) dx = g by dense Cholesky."""
+    if diagonal_damping:
+        d = jnp.clip(jnp.diagonal(H), min_diag, max_diag)
+        Hd = H + jnp.diag(lam * d)
+    else:
+        Hd = H + lam * jnp.eye(H.shape[0], dtype=H.dtype)
+    L = jnp.linalg.cholesky(Hd)
+    dx = jax.scipy.linalg.cho_solve((L, True), g)
+    return dx
+
+
+def _make_step_fns(graph: FactorGraph, values: Values, solver: Optional[Callable]):
+    bound = graph.bind(values)
+    layout = values.layout()
+
+    if solver is None:
+        def solver_fn(H, g, lam, diagonal_damping):
+            return _dense_solve(H, g, lam, diagonal_damping)
+    else:
+        solver_fn = solver
+
+    @jax.jit
+    def error_fn(arrays):
+        return bound.error(arrays)
+
+    @jax.jit
+    def system_fn(arrays):
+        return bound.gn_system(arrays)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(4,))
+    def try_step(arrays, H, g, lam, diagonal_damping):
+        dx = solver_fn(H, g, lam, diagonal_damping)
+        new_arrays = retract_arrays(arrays, dx, layout)
+        new_error = bound.error(new_arrays)
+        return dx, new_arrays, new_error
+
+    return bound, error_fn, system_fn, try_step
+
+
+def gauss_newton(graph: FactorGraph, initial: Values,
+                 params: OptimizerParams = None, solver=None) -> OptimizeResult:
+    params = params or OptimizerParams()
+    bound, error_fn, system_fn, try_step = _make_step_fns(graph, initial, solver)
+    arrays = initial.arrays
+    error = float(error_fn(arrays))
+    history = [error]
+    converged = False
+    it = 0
+    for it in range(1, params.max_iterations + 1):
+        H, g = system_fn(arrays)
+        _, new_arrays, new_error = try_step(arrays, H, g, 0.0, False)
+        new_error = float(new_error)
+        if params.verbose:
+            print(f"GN iter {it}: error {error:.6g} -> {new_error:.6g}")
+        if not math.isfinite(new_error):
+            break
+        arrays, prev, error = new_arrays, error, new_error
+        history.append(error)
+        if check_convergence(prev, error, params):
+            converged = True
+            break
+    return OptimizeResult(initial.replace_arrays(arrays), error, it, converged, history)
+
+
+def levenberg_marquardt(graph: FactorGraph, initial: Values,
+                        params: LMParams = None, solver=None) -> OptimizeResult:
+    params = params or LMParams()
+    bound, error_fn, system_fn, try_step = _make_step_fns(graph, initial, solver)
+    arrays = initial.arrays
+    error = float(error_fn(arrays))
+    history = [error]
+    lam = params.lambda_initial
+    converged = False
+    it = 0
+    for it in range(1, params.max_iterations + 1):
+        H, g = system_fn(arrays)
+        accepted = False
+        prev = error
+        while True:
+            dx, new_arrays, new_error = try_step(arrays, H, g, lam, params.diagonal_damping)
+            new_error = float(new_error)
+            if math.isfinite(new_error) and new_error < error:
+                # accept, decrease lambda (tryLambda: lambda /= factor on success)
+                arrays, error = new_arrays, new_error
+                lam = max(lam / params.lambda_factor, params.lambda_lower_bound)
+                accepted = True
+                break
+            lam *= params.lambda_factor
+            if lam > params.lambda_upper_bound:
+                break
+        if params.verbose:
+            print(f"LM iter {it}: error {prev:.6g} -> {error:.6g} lambda {lam:.3g}")
+        history.append(error)
+        if not accepted:
+            break
+        if check_convergence(prev, error, params):
+            converged = True
+            break
+    return OptimizeResult(initial.replace_arrays(arrays), error, it, converged, history)
+
+
+def dogleg(graph: FactorGraph, initial: Values,
+           params: DoglegParams = None, solver=None) -> OptimizeResult:
+    """Trust-region dogleg combining GN and steepest-descent steps
+    (DoglegOptimizerImpl.h:95 ComputeDoglegPoint)."""
+    params = params or DoglegParams()
+    bound, error_fn, system_fn, try_step = _make_step_fns(graph, initial, solver)
+    layout = initial.layout()
+
+    @jax.jit
+    def dogleg_step(arrays, H, g, delta):
+        dx_gn = _dense_solve(H, g, 0.0, False)
+        # steepest descent: u = g (gradient direction), alpha = g'g / g'Hg
+        gHg = g @ (H @ g)
+        alpha = jnp.where(gHg > 0, (g @ g) / jnp.maximum(gHg, 1e-300), 0.0)
+        dx_u = alpha * g
+        n_gn = jnp.linalg.norm(dx_gn)
+        n_u = jnp.linalg.norm(dx_u)
+
+        def blend():
+            # find tau: || dx_u + tau (dx_gn - dx_u) || = delta
+            d = dx_gn - dx_u
+            a = d @ d
+            b = 2.0 * (dx_u @ d)
+            c = dx_u @ dx_u - delta * delta
+            disc = jnp.maximum(b * b - 4 * a * c, 0.0)
+            tau = (-b + jnp.sqrt(disc)) / jnp.maximum(2 * a, 1e-300)
+            return dx_u + tau * d
+
+        dx = jnp.where(n_gn <= delta, dx_gn,
+                       jnp.where(n_u >= delta,
+                                 dx_u * (delta / jnp.maximum(n_u, 1e-300)),
+                                 blend()))
+        new_arrays = retract_arrays(arrays, dx, layout)
+        new_error = bound.error(new_arrays)
+        # predicted reduction from the linear model: g'dx - 0.5 dx'H dx
+        pred = g @ dx - 0.5 * dx @ (H @ dx)
+        return dx, new_arrays, new_error, pred
+
+    arrays = initial.arrays
+    error = float(error_fn(arrays))
+    history = [error]
+    delta = params.initial_delta
+    converged = False
+    it = 0
+    for it in range(1, params.max_iterations + 1):
+        H, g = system_fn(arrays)
+        prev = error
+        accepted = False
+        for _ in range(10):
+            dx, new_arrays, new_error, pred = dogleg_step(arrays, H, g, delta)
+            new_error = float(new_error)
+            pred = float(pred)
+            rho = (error - new_error) / pred if pred > 0 else -1.0
+            if rho > 0.75:
+                delta = min(2 * delta, 1e10)
+            elif rho < 0.25:
+                delta = delta / 2.0
+            if math.isfinite(new_error) and new_error < error:
+                arrays, error = new_arrays, new_error
+                accepted = True
+                break
+            if delta < 1e-10:
+                break
+        history.append(error)
+        if params.verbose:
+            print(f"Dogleg iter {it}: error {prev:.6g} -> {error:.6g} delta {delta:.3g}")
+        if not accepted:
+            break
+        if check_convergence(prev, error, params):
+            converged = True
+            break
+    return OptimizeResult(initial.replace_arrays(arrays), error, it, converged, history)

@@ -1,0 +1,20 @@
+"""Test configuration: force CPU with a virtual 8-device mesh.
+
+Multi-chip sharding paths are tested without TPUs via
+xla_force_host_platform_device_count (SURVEY.md §4 item 8).  Note: this
+environment pre-registers a TPU backend in sitecustomize and overrides
+JAX_PLATFORMS, so we must re-force CPU via jax.config here (before any
+backend is initialized).  The TPU path is exercised by bench.py instead.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
