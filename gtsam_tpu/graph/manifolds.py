@@ -12,7 +12,7 @@ from typing import Any, Callable
 
 import jax.numpy as jnp
 
-from ..geometry import se2, se3, so3
+from ..geometry import cameras, se2, se3, so3
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +59,17 @@ POINT3 = register(_vector_manifold("Point3", 3))
 POINT2 = register(_vector_manifold("Point2", 2))
 VEC3 = register(_vector_manifold("Vec3", 3))
 VEC6 = register(_vector_manifold("Vec6", 6))
+BAL_CAMERA = register(ManifoldType(
+    "BalCamera", 9, cameras.bal_retract, cameras.bal_local, cameras.bal_identity))
+PINHOLE_S2 = register(ManifoldType(
+    "PinholeCameraS2", 11,
+    lambda c, d: cameras.PinholeCameraS2(
+        se3.retract(c.pose, d[..., :6]), c.calib + d[..., 6:]),
+    lambda a, b: jnp.concatenate(
+        [se3.local(a.pose, b.pose), b.calib - a.calib], axis=-1),
+    lambda: cameras.PinholeCameraS2(
+        se3.identity(), jnp.array([1.0, 1.0, 0.0, 0.0, 0.0])),
+))
 SCALAR = register(ManifoldType(
     "Scalar", 1,
     lambda x, d: x + d[0],
