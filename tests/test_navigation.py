@@ -1,0 +1,189 @@
+"""Navigation tests mirroring the reference's Scenario/ScenarioRunner idiom
+(navigation/Scenario.h, testImuFactor.cpp): analytic constant-twist trajectory,
+simulated IMU, preintegration vs ground truth, factor Jacobian checks, and a
+small VIO-style smoothing problem."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import gtsam_tpu as gt
+from gtsam_tpu.geometry import se3, so3
+from gtsam_tpu.graph import factors as factors_mod
+from gtsam_tpu.navigation import factors as nav_factors
+from gtsam_tpu.navigation.navstate import NavState, local as nav_local, retract as nav_retract
+from gtsam_tpu.navigation.preintegration import (
+    PIM, PreintegrationParams, bias_corrected_delta, merge, predict, preintegrate,
+)
+
+GRAVITY = np.array([0.0, 0.0, -9.81])
+
+
+class ConstantTwistScenario:
+    """pose(t) = Exp(t * [w; v]) — gtsam/navigation/Scenario.h analog."""
+
+    def __init__(self, w_body, v_body):
+        self.w = np.asarray(w_body, dtype=float)
+        self.v = np.asarray(v_body, dtype=float)
+
+    def pose(self, t):
+        return se3.expmap(jnp.asarray(np.concatenate([self.w * t, self.v * t])))
+
+    def nav_state(self, t):
+        T = self.pose(t)
+        vel_nav = so3.rotate(T.R, jnp.asarray(self.v))
+        return NavState(T.R, T.t, vel_nav)
+
+    def imu_measurements(self, t):
+        """(acc_body, gyro_body) specific force + angular rate."""
+        T = self.pose(t)
+        a_nav = so3.rotate(T.R, jnp.asarray(np.cross(self.w, self.v)))
+        acc_body = so3.unrotate(T.R, a_nav - jnp.asarray(GRAVITY))
+        return np.asarray(acc_body), self.w
+
+
+def simulate(scenario, T=1.0, dt=1e-3):
+    # start-of-interval sampling (consistent with the piecewise-constant
+    # integrator); global error is O(dt)
+    ts = np.arange(0, T, dt)
+    accs = np.stack([scenario.imu_measurements(t)[0] for t in ts])
+    gyros = np.tile(scenario.w, (len(ts), 1))
+    dts = np.full(len(ts), dt)
+    return accs, gyros, dts
+
+
+class TestPreintegration:
+    def setup_method(self):
+        self.params = PreintegrationParams(gravity=tuple(GRAVITY))
+        self.scenario = ConstantTwistScenario([0.1, 0.2, 0.3], [1.0, 0.0, 0.0])
+
+    def test_predict_matches_ground_truth(self):
+        accs, gyros, dts = simulate(self.scenario, T=1.0, dt=1e-3)
+        pim = preintegrate(accs, gyros, dts, np.zeros(6), self.params)
+        state0 = self.scenario.nav_state(0.0)
+        pred = predict(state0, jnp.zeros(6), pim, self.params)
+        truth = self.scenario.nav_state(float(np.sum(dts)))
+        err = nav_local(truth, pred)
+        assert float(jnp.abs(err).max()) < 2e-4  # O(dt) integration error, dt=1e-3
+
+    def test_zero_motion(self):
+        # stationary: gyro = 0, acc = -g in body frame (R = I)
+        n = 100
+        accs = np.tile(-GRAVITY, (n, 1))
+        gyros = np.zeros((n, 3))
+        dts = np.full(n, 0.01)
+        pim = preintegrate(accs, gyros, dts, np.zeros(6), self.params)
+        state0 = NavState(jnp.eye(3), jnp.zeros(3), jnp.zeros(3))
+        pred = predict(state0, jnp.zeros(6), pim, self.params)
+        assert float(jnp.abs(pred.p).max()) < 1e-9
+        assert float(jnp.abs(pred.v).max()) < 1e-9
+
+    def test_bias_first_order_correction(self):
+        accs, gyros, dts = simulate(self.scenario, T=0.5, dt=1e-3)
+        pim0 = preintegrate(accs, gyros, dts, np.zeros(6), self.params)
+        db = np.array([0.01, -0.02, 0.015, 0.002, -0.001, 0.003])
+        # re-preintegrate at the new bias = ground truth
+        pim_b = preintegrate(accs, gyros, dts, db, self.params)
+        corrected = bias_corrected_delta(pim0, jnp.asarray(db))
+        # first-order correction should match re-integration to O(|db|^2)
+        assert float(jnp.abs(corrected - pim_b.zeta).max()) < 5e-4
+
+    def test_covariance_grows(self):
+        accs, gyros, dts = simulate(self.scenario, T=0.5, dt=1e-3)
+        pim = preintegrate(accs, gyros, dts, np.zeros(6), self.params)
+        eigs = np.linalg.eigvalsh(np.asarray(pim.cov))
+        assert eigs.min() > 0  # PSD and nonsingular after integration
+
+    def test_merge(self):
+        accs, gyros, dts = simulate(self.scenario, T=1.0, dt=1e-3)
+        h = len(dts) // 2
+        pim_full = preintegrate(accs, gyros, dts, np.zeros(6), self.params)
+        pim1 = preintegrate(accs[:h], gyros[:h], dts[:h], np.zeros(6), self.params)
+        pim2 = preintegrate(accs[h:], gyros[h:], dts[h:], np.zeros(6), self.params)
+        pim_m = merge(pim1, pim2)
+        assert float(jnp.abs(pim_m.zeta - pim_full.zeta).max()) < 1e-8
+        assert float(jnp.abs(pim_m.cov - pim_full.cov).max()) < 1e-8
+
+
+class TestImuFactor:
+    def test_zero_error_at_ground_truth(self):
+        params = PreintegrationParams(gravity=tuple(GRAVITY))
+        scen = ConstantTwistScenario([0.0, 0.0, 0.5], [1.0, 0.0, 0.0])
+        accs, gyros, dts = simulate(scen, T=0.5, dt=1e-3)
+        pim = preintegrate(accs, gyros, dts, np.zeros(6), params)
+        T_end = float(np.sum(dts))
+        s0, s1 = scen.nav_state(0.0), scen.nav_state(T_end)
+        pims = jax.tree.map(lambda a: a[None], pim)
+        batch = nav_factors.imu_factors([0], [1], [2], [3], [4], pims, params)
+        xs = (
+            se3.SE3(s0.R[None], s0.p[None]), s0.v[None],
+            se3.SE3(s1.R[None], s1.p[None]), s1.v[None],
+            jnp.zeros((1, 6)),
+        )
+        r = factors_mod.residuals(batch, xs)
+        assert float(jnp.abs(r).max()) < 2e-4
+
+    def test_vio_smoothing(self):
+        """3-keyframe IMU + GPS fusion recovers the trajectory."""
+        params = PreintegrationParams(gravity=tuple(GRAVITY))
+        scen = ConstantTwistScenario([0.0, 0.0, 0.3], [1.0, 0.0, 0.1])
+        X = gt.shorthand("x")
+        V = gt.shorthand("v")
+        B = gt.shorthand("b")
+        dt_kf = 0.5
+        n_kf = 4
+        graph = gt.FactorGraph()
+        pims = []
+        for i in range(n_kf - 1):
+            ts = np.arange(i * dt_kf, (i + 1) * dt_kf, 1e-3)
+            accs = np.stack([scen.imu_measurements(t)[0] for t in ts])
+            gyros = np.tile(scen.w, (len(ts), 1))
+            pims.append(preintegrate(accs, gyros, np.full(len(ts), 1e-3),
+                                     np.zeros(6), params))
+        pims_b = jax.tree.map(lambda *xs: jnp.stack(xs), *pims)
+        graph.add(nav_factors.imu_factors(
+            [X(i) for i in range(n_kf - 1)], [V(i) for i in range(n_kf - 1)],
+            [X(i + 1) for i in range(n_kf - 1)],
+            [V(i + 1) for i in range(n_kf - 1)], [B(i) for i in range(n_kf - 1)],
+            pims_b, params))
+        graph.add(nav_factors.bias_between_factors(
+            [B(i) for i in range(n_kf - 1)], [B(i + 1) for i in range(n_kf - 1)],
+            params, np.full(n_kf - 1, dt_kf)))
+        # GPS on every keyframe
+        true_states = [scen.nav_state(i * dt_kf) for i in range(n_kf)]
+        graph.add(nav_factors.gps_factors(
+            [X(i) for i in range(n_kf)],
+            np.stack([np.asarray(s.p) for s in true_states]),
+            gt.noise.isotropic(3, 0.05)))
+        graph.add(nav_factors.velocity_prior_factors(
+            [V(0)], np.asarray(true_states[0].v)[None], gt.noise.isotropic(3, 0.1)))
+        graph.add(nav_factors.bias_prior_factors(
+            [B(0)], np.zeros((1, 6)), gt.noise.isotropic(6, 0.1)))
+
+        entries = []
+        rng = np.random.default_rng(0)
+        for i, s in enumerate(true_states):
+            # perturbed initial guesses
+            dR = so3.expmap(jnp.asarray(rng.normal(scale=0.05, size=3)))
+            entries.append((X(i), "SE3", se3.SE3(s.R @ dR,
+                                                 s.p + rng.normal(scale=0.2, size=3))))
+            entries.append((V(i), "Vec3", s.v + rng.normal(scale=0.1, size=3)))
+            entries.append((B(i), "Vec6", jnp.zeros(6)))
+        init = gt.Values.from_entries(entries)
+        res = gt.levenberg_marquardt(graph, init, gt.LMParams(max_iterations=30))
+        # recovered positions near truth
+        for i, s in enumerate(true_states):
+            got = res.values.at(X(i))
+            assert float(jnp.abs(got.t - s.p).max()) < 0.05, i
+
+
+class TestNavState:
+    def test_retract_local_roundtrip(self):
+        rng = np.random.default_rng(1)
+        x = NavState(so3.expmap(jnp.asarray(rng.normal(size=3))),
+                     jnp.asarray(rng.normal(size=3)),
+                     jnp.asarray(rng.normal(size=3)))
+        xi = jnp.asarray(rng.normal(size=9)) * 0.5
+        y = nav_retract(x, xi)
+        np.testing.assert_allclose(np.asarray(nav_local(x, y)), np.asarray(xi),
+                                   atol=1e-12)
