@@ -25,9 +25,11 @@ from .graph.factors import (  # noqa: E402,F401
 from .graph.graph import BoundGraph, FactorGraph  # noqa: E402,F401
 from .graph.values import Values  # noqa: E402,F401
 from .optimize.optimizers import (  # noqa: E402,F401
+    DenseSolver,
     DoglegParams,
     LMParams,
     OptimizerParams,
+    SparseSolver,
     dogleg,
     gauss_newton,
     levenberg_marquardt,

@@ -79,15 +79,46 @@ def _dense_solve(H, g, lam, diagonal_damping, min_diag=1e-6, max_diag=1e32):
     return dx
 
 
-def _make_step_fns(graph: FactorGraph, values: Values, solver: Optional[Callable]):
+class DenseSolver:
+    """Dense normal-equations + Cholesky (default for small/medium graphs)."""
+
+    def bind(self, bound):
+        self._bound = bound
+        return self
+
+    def system(self, arrays):
+        return self._bound.gn_system(arrays)
+
+    def solve(self, system, lam, diagonal_damping):
+        H, g = system
+        return _dense_solve(H, g, lam, diagonal_damping)
+
+
+class SparseSolver:
+    """Level-scheduled sparse block Cholesky (linear/sparse.py)."""
+
+    def __init__(self, order: str = "amd"):
+        self._order = order
+
+    def bind(self, bound):
+        from ..linear.sparse import SparseCholeskySolver
+        self._s = SparseCholeskySolver(bound, order=self._order)
+        return self
+
+    def system(self, arrays):
+        return self._s.system(arrays)
+
+    def solve(self, system, lam, diagonal_damping):
+        blocks, g = system
+        # diagonal_damping not yet supported in sparse path; lam*I only
+        Lb = self._s.factorize(blocks, lam)
+        return self._s.solve_factored(Lb, g)
+
+
+def _make_step_fns(graph: FactorGraph, values: Values, solver=None):
     bound = graph.bind(values)
     layout = values.layout()
-
-    if solver is None:
-        def solver_fn(H, g, lam, diagonal_damping):
-            return _dense_solve(H, g, lam, diagonal_damping)
-    else:
-        solver_fn = solver
+    solver = (solver or DenseSolver()).bind(bound)
 
     @jax.jit
     def error_fn(arrays):
@@ -95,13 +126,13 @@ def _make_step_fns(graph: FactorGraph, values: Values, solver: Optional[Callable
 
     @jax.jit
     def system_fn(arrays):
-        return bound.gn_system(arrays)
+        return solver.system(arrays)
 
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(4,))
-    def try_step(arrays, H, g, lam, diagonal_damping):
-        dx = solver_fn(H, g, lam, diagonal_damping)
+    @partial(jax.jit, static_argnums=(3,))
+    def try_step(arrays, system, lam, diagonal_damping):
+        dx = solver.solve(system, lam, diagonal_damping)
         new_arrays = retract_arrays(arrays, dx, layout)
         new_error = bound.error(new_arrays)
         return dx, new_arrays, new_error
@@ -119,8 +150,8 @@ def gauss_newton(graph: FactorGraph, initial: Values,
     converged = False
     it = 0
     for it in range(1, params.max_iterations + 1):
-        H, g = system_fn(arrays)
-        _, new_arrays, new_error = try_step(arrays, H, g, 0.0, False)
+        system = system_fn(arrays)
+        _, new_arrays, new_error = try_step(arrays, system, 0.0, False)
         new_error = float(new_error)
         if params.verbose:
             print(f"GN iter {it}: error {error:.6g} -> {new_error:.6g}")
@@ -145,11 +176,11 @@ def levenberg_marquardt(graph: FactorGraph, initial: Values,
     converged = False
     it = 0
     for it in range(1, params.max_iterations + 1):
-        H, g = system_fn(arrays)
+        system = system_fn(arrays)
         accepted = False
         prev = error
         while True:
-            dx, new_arrays, new_error = try_step(arrays, H, g, lam, params.diagonal_damping)
+            dx, new_arrays, new_error = try_step(arrays, system, lam, params.diagonal_damping)
             new_error = float(new_error)
             if math.isfinite(new_error) and new_error < error:
                 # accept, decrease lambda (tryLambda: lambda /= factor on success)
@@ -176,6 +207,8 @@ def dogleg(graph: FactorGraph, initial: Values,
     """Trust-region dogleg combining GN and steepest-descent steps
     (DoglegOptimizerImpl.h:95 ComputeDoglegPoint)."""
     params = params or DoglegParams()
+    if solver is not None and not isinstance(solver, DenseSolver):
+        raise NotImplementedError("dogleg currently requires the dense solver")
     bound, error_fn, system_fn, try_step = _make_step_fns(graph, initial, solver)
     layout = initial.layout()
 
