@@ -56,6 +56,77 @@ def natural(n: int) -> np.ndarray:
     return np.arange(n)
 
 
+def nested_dissection(adj: sp.csr_matrix, leaf_size: int = 32) -> np.ndarray:
+    """METIS-style nested dissection via BFS vertex bisection (host-side).
+
+    Reference analog: Ordering::Metis (Ordering.h:201).  Produces balanced
+    elimination trees (shallow level schedules + small separators), which is
+    what the level-scheduled device factorization needs.
+    """
+    from scipy.sparse.csgraph import breadth_first_order, connected_components
+
+    A = ((adj + adj.T) > 0).astype(np.int8).tocsr()
+    n = A.shape[0]
+    order: list = []
+
+    def local_order(nodes):
+        if len(nodes) <= 1:
+            order.extend(nodes.tolist())
+            return
+        sub = A[nodes][:, nodes]
+        p = minimum_degree(sub)
+        order.extend(nodes[p].tolist())
+
+    def bfs_levels(sub, start):
+        nodes_order, preds = breadth_first_order(sub, start, directed=False,
+                                                 return_predecessors=True)
+        lev = np.full(sub.shape[0], -1, dtype=np.int64)
+        lev[start] = 0
+        for v in nodes_order[1:]:
+            lev[v] = lev[preds[v]] + 1
+        return lev
+
+    def rec(nodes):
+        if len(nodes) <= leaf_size:
+            local_order(nodes)
+            return
+        sub = A[nodes][:, nodes].tocsr()
+        ncomp, labels = connected_components(sub, directed=False)
+        if ncomp > 1:
+            for c in range(ncomp):
+                rec(nodes[labels == c])
+            return
+        # pseudo-peripheral start
+        lev0 = bfs_levels(sub, 0)
+        f1 = int(np.argmax(lev0))
+        lev = bfs_levels(sub, f1)
+        med = np.median(lev)
+        in_a = lev <= med
+        if in_a.all() or not in_a.any():
+            local_order(nodes)
+            return
+        # separator: vertices of A adjacent to B
+        indptr, indices = sub.indptr, sub.indices
+        sep_mask = np.zeros(len(nodes), dtype=bool)
+        a_idx = np.where(in_a)[0]
+        for v in a_idx:
+            nbrs = indices[indptr[v]:indptr[v + 1]]
+            if np.any(~in_a[nbrs]):
+                sep_mask[v] = True
+        part_a = np.where(in_a & ~sep_mask)[0]
+        part_b = np.where(~in_a)[0]
+        sep = np.where(sep_mask)[0]
+        if len(part_a) == 0 or len(part_b) == 0:
+            local_order(nodes)
+            return
+        rec(nodes[part_a])
+        rec(nodes[part_b])
+        order.extend(nodes[sep].tolist())  # separator eliminated last
+
+    rec(np.arange(n))
+    return np.asarray(order, dtype=np.int64)
+
+
 def constrained_last(adj: sp.csr_matrix, last: Sequence[int]) -> np.ndarray:
     """COLAMD-constrained analog (Ordering.h:112): given variables forced last,
     order the rest by minimum degree, then append `last`."""

@@ -1,0 +1,140 @@
+"""Matrix-free preconditioned conjugate gradient on the GN normal equations.
+
+Reference: gtsam/linear/PCGSolver.h:55, iterative.h:104 (ConjugateGradientSolver),
+Preconditioner.h:64 (BlockJacobi).  The Hessian is never materialized: the
+matvec v -> (J^T J + lam) v runs as two batched einsums per factor batch plus
+scatter-adds (exactly the RegularImplicitSchurFactor::multiplyHessianAdd idea,
+slam/RegularImplicitSchurFactor.h:272, generalized to any graph).
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import manifolds
+from ..graph.graph import BoundGraph
+
+
+class PCGSolver:
+    """Pluggable solver for the nonlinear optimizers (matrix-free CG)."""
+
+    def __init__(self, max_iterations: int = 500, tol: float = 1e-9):
+        self.max_iterations = max_iterations
+        self.tol = tol
+
+    def bind(self, bound: BoundGraph):
+        self._bound = bound
+        layout = bound.layout
+        self._layout = layout
+        # per (batch, slot): flat gather indices (N, d_s)
+        self._slot_idx = []
+        for b, st in zip(bound.graph.batches, bound.structures):
+            idxs = []
+            for s in range(b.arity):
+                d = manifolds.get(b.var_types[s]).dim
+                idxs.append(st.col_offsets[s][:, None] + np.arange(d)[None, :])
+            self._slot_idx.append(idxs)
+        # per type: flat indices for block-Jacobi assembly
+        self._total = layout.total_dim
+        self._dmax = max((manifolds.get(t).dim for t in layout.type_order),
+                         default=1)
+        self._nvar_offsets = (np.concatenate(
+            [layout.offsets[t] for t in layout.type_order])
+            if layout.type_order else np.zeros(0, np.int32))
+        self._var_dims = (np.concatenate(
+            [np.full(len(layout.offsets[t]), manifolds.get(t).dim)
+             for t in layout.type_order])
+            if layout.type_order else np.zeros(0, np.int64))
+        return self
+
+    def system(self, arrays):
+        lin = self._bound.linearize(arrays)
+        # gradient g = J^T b and block-diagonal preconditioner
+        g = jnp.zeros(self._total, dtype=jnp.result_type(float))
+        # block-jacobi: per variable (uniform pad to max dim)
+        dmax = self._dmax
+        nvar_offsets = self._nvar_offsets
+        var_dims = self._var_dims
+        off_to_var = {int(o): i for i, o in enumerate(nvar_offsets)}
+        nv = len(nvar_offsets)
+        diag = jnp.zeros((nv, dmax, dmax), dtype=jnp.result_type(float))
+        for (wJ, bvec), idxs, (bt, st) in zip(
+                lin, self._slot_idx,
+                zip(self._bound.graph.batches, self._bound.structures)):
+            for s in range(bt.arity):
+                gi = jnp.einsum("nrd,nr->nd", wJ[s], bvec)
+                g = g.at[idxs[s]].add(gi)
+                Hii = jnp.einsum("nri,nrj->nij", wJ[s], wJ[s])
+                d = Hii.shape[-1]
+                Hii = jnp.pad(Hii, ((0, 0), (0, dmax - d), (0, dmax - d)))
+                var_rows = np.asarray([off_to_var[int(o)]
+                                       for o in st.col_offsets[s]])
+                diag = diag.at[var_rows].add(Hii)
+        # identity on padding
+        pad = np.zeros((nv, dmax))
+        for i in range(nv):
+            pad[i, var_dims[i]:] = 1.0
+        diag = diag + jax.vmap(jnp.diag)(jnp.asarray(pad, dtype=diag.dtype))
+        return (lin, g, diag)
+
+    def _matvec(self, lin, v, lam):
+        out = lam * v
+        for (wJ, _b), idxs, bt in zip(lin, self._slot_idx,
+                                      self._bound.graph.batches):
+            u = None
+            for s in range(bt.arity):
+                us = jnp.einsum("nrd,nd->nr", wJ[s], v[idxs[s]])
+                u = us if u is None else u + us
+            for s in range(bt.arity):
+                out = out.at[idxs[s]].add(jnp.einsum("nrd,nr->nd", wJ[s], u))
+        return out
+
+    def solve(self, system, lam, diagonal_damping):
+        lin, g, diag = system
+        offsets, var_dims, dmax = self._nvar_offsets, self._var_dims, self._dmax
+        dt = g.dtype
+        # damped preconditioner inverse
+        Minv = jnp.linalg.inv(diag + lam * jnp.eye(dmax, dtype=dt))
+
+        idx = jnp.asarray(offsets[:, None] + np.arange(dmax)[None, :])
+        valid = jnp.asarray(
+            np.arange(dmax)[None, :] < np.asarray(var_dims)[:, None])
+        idx_safe = jnp.where(valid, idx, 0)
+
+        def apply_Minv(r):
+            rblk = jnp.where(valid, r[idx_safe], 0.0)
+            z = jnp.einsum("nij,nj->ni", Minv, rblk)
+            return jnp.zeros_like(r).at[idx_safe].add(jnp.where(valid, z, 0.0))
+
+        def matvec(v):
+            return self._matvec(lin, v, lam)
+
+        x0 = jnp.zeros_like(g)
+        r0 = g
+        z0 = apply_Minv(r0)
+        p0 = z0
+        gamma0 = r0 @ z0
+        tol2 = self.tol ** 2 * jnp.maximum(g @ g, 1e-300)
+
+        def cond(state):
+            _x, r, _z, _p, _gamma, it = state
+            return (r @ r > tol2) & (it < self.max_iterations)
+
+        def body(state):
+            x, r, z, p, gamma, it = state
+            Ap = matvec(p)
+            alpha = gamma / jnp.maximum(p @ Ap, 1e-300)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = apply_Minv(r)
+            gamma_new = r @ z
+            beta = gamma_new / jnp.maximum(gamma, 1e-300)
+            p = z + beta * p
+            return (x, r, z, p, gamma_new, it + 1)
+
+        x, r, _z, _p, _gamma, it = jax.lax.while_loop(
+            cond, body, (x0, r0, z0, p0, gamma0, jnp.zeros((), jnp.int32)))
+        return x

@@ -41,7 +41,8 @@ class _LevelIndices:
 class SparseCholeskySolver:
     """Builds once per (graph structure, values structure); jit-safe methods."""
 
-    def __init__(self, bound: BoundGraph, order: str = "amd"):
+    def __init__(self, bound: BoundGraph, order: str = "nd",
+                 min_level_cols: int = 8):
         layout = bound.layout
         self.layout = layout
         # global variable ids: (type, row) -> id, in layout order
@@ -72,10 +73,30 @@ class SparseCholeskySolver:
         adj = ordering_mod.adjacency_from_factors(factor_keys, self.nvars)
         if order == "natural":
             perm = ordering_mod.natural(self.nvars)
-        else:
+        elif order == "amd":
             perm = ordering_mod.minimum_degree(adj)
+        else:
+            perm = ordering_mod.nested_dissection(adj)
         self.sym = symbolic_mod.analyze(adj, perm)
         sym = self.sym
+
+        # -- dense root supernode split ------------------------------------
+        # Levels whose column count falls below min_level_cols form the tree's
+        # sequential tail (separator chains); their columns (ancestor-closed)
+        # are eliminated as ONE dense frontal matrix — the multifrontal root
+        # supernode — instead of hundreds of tiny sequential levels.
+        nlev_all = len(sym.levels)
+        L_cut = nlev_all
+        for lv, cols in enumerate(sym.levels):
+            if len(cols) < min_level_cols:
+                L_cut = lv
+                break
+        tail_mask = sym.col_level >= L_cut  # by NEW column id
+        self.tail_cols = np.where(tail_mask)[0].astype(np.int32)
+        self.tail_pos = np.full(self.nvars, -1, dtype=np.int32)
+        self.tail_pos[self.tail_cols] = np.arange(len(self.tail_cols))
+        self.n_tail = len(self.tail_cols)
+        self.L_cut = L_cut
 
         # per-level index bundles
         self.level_indices: List[_LevelIndices] = []
@@ -86,7 +107,7 @@ class SparseCholeskySolver:
             if i != j:
                 col_arrays.setdefault(j, []).append(bid)
                 row_arrays.setdefault(i, []).append((bid, j))
-        for lv, cols in enumerate(sym.levels):
+        for lv, cols in enumerate(sym.levels[:L_cut]):
             diag_ids = sym.diag_block_by_col[cols]
             sub_ids, sub_pos = [], []
             for p, j in enumerate(cols):
@@ -109,6 +130,33 @@ class SparseCholeskySolver:
                 fwd_src=np.asarray(fwd_src, dtype=np.int32),
                 fwd_dst=np.asarray(fwd_dst, dtype=np.int32),
             ))
+
+        # late triples: targets in tail levels, sources from LEADING columns
+        # (tail-sourced updates are internal to the dense root factorization)
+        lt_t, lt_ik, lt_jk = [], [], []
+        for lv in range(L_cut, nlev_all):
+            t, ik, jk = sym.triples_by_level[lv]
+            if len(t) == 0:
+                continue
+            src_col = sym.block_col[ik]
+            keep = sym.col_level[src_col] < L_cut
+            lt_t.append(t[keep])
+            lt_ik.append(ik[keep])
+            lt_jk.append(jk[keep])
+        cat = lambda xs: (np.concatenate(xs) if xs else np.zeros(0, dtype=np.int32))
+        self.late_triples = (cat(lt_t), cat(lt_ik), cat(lt_jk))
+
+        # tail dense structure
+        tail_bids = np.where(tail_mask[sym.block_col])[0].astype(np.int32)
+        self.tail_bids = tail_bids
+        self.tail_r = self.tail_pos[sym.block_row[tail_bids]]
+        self.tail_c = self.tail_pos[sym.block_col[tail_bids]]
+        self.tail_diag_mask = (self.tail_r == self.tail_c)
+        # blocks with row in tail, col leading (for tail forward-solve rhs)
+        ft_mask = tail_mask[sym.block_row] & ~tail_mask[sym.block_col]
+        self.ftail_bids = np.where(ft_mask)[0].astype(np.int32)
+        self.ftail_src = sym.block_col[self.ftail_bids]          # leading col k
+        self.ftail_dst = self.tail_pos[sym.block_row[self.ftail_bids]]
 
         # assembly plan: for each (batch, slot-pair): target block ids + flip
         self.assembly = []
@@ -173,7 +221,10 @@ class SparseCholeskySolver:
     # -- numeric factorization + solve (jit-safe) --------------------------
 
     def factorize(self, blocks, lam=0.0):
-        """In-place transform A-blocks -> L-blocks, with lambda*I damping."""
+        """A-blocks -> L-blocks (leading columns) + dense root Cholesky factor.
+
+        Returns (blocks, L_tail (Td, Td) or None).
+        """
         sym = self.sym
         d = self.d
         dt = blocks.dtype
@@ -194,10 +245,31 @@ class SparseCholeskySolver:
                 Xt = jax.lax.linalg.triangular_solve(
                     Lc, jnp.swapaxes(Aij, 1, 2), left_side=True, lower=True)
                 blocks = blocks.at[li.sub_ids].set(jnp.swapaxes(Xt, 1, 2))
-        return blocks
+        if self.n_tail == 0:
+            return blocks, None
+        # apply leading->tail updates, then factor the dense root supernode
+        t, ik, jk = self.late_triples
+        if len(t):
+            prods = jnp.einsum("bij,bkj->bik", blocks[ik], blocks[jk])
+            blocks = blocks.at[t].add(-prods)
+        T = self.n_tail
+        M = jnp.zeros((T * d, T * d), dtype=dt)
+        r_idx = (self.tail_r[:, None, None] * d
+                 + np.arange(d)[None, :, None]).astype(np.int32)
+        c_idx = (self.tail_c[:, None, None] * d
+                 + np.arange(d)[None, None, :]).astype(np.int32)
+        vals = blocks[self.tail_bids]
+        strict = ~self.tail_diag_mask
+        M = M.at[r_idx, c_idx].add(vals)
+        M = M.at[jnp.swapaxes(c_idx, 1, 2)[strict],
+                 jnp.swapaxes(r_idx, 1, 2)[strict]].add(
+            jnp.swapaxes(vals, 1, 2)[strict])
+        L_tail = jnp.linalg.cholesky(M)
+        return blocks, L_tail
 
-    def solve_factored(self, Lb, g):
+    def solve_factored(self, factored, g):
         """Forward + backward substitution; returns flat delta (canonical layout)."""
+        Lb, L_tail = factored
         n, d = self.nvars, self.d
         dt = Lb.dtype
         y = jnp.zeros((n, d), dtype=dt)
@@ -212,8 +284,20 @@ class SparseCholeskySolver:
             yj = jax.lax.linalg.triangular_solve(
                 Ljj, rhs[..., None], left_side=True, lower=True)[..., 0]
             y = y.at[li.cols].set(yj)
-        # backward: levels in reverse; x_j = L_jj^{-T} (y_j - sum_i L_ij^T x_i)
         x = jnp.zeros((n, d), dtype=dt)
+        if self.n_tail:
+            T = self.n_tail
+            rhs_t = g[self.tail_cols]
+            if len(self.ftail_bids):
+                contrib = jnp.einsum("bij,bj->bi", Lb[self.ftail_bids],
+                                     y[self.ftail_src])
+                rhs_t = rhs_t.at[self.ftail_dst].add(-contrib)
+            y_t = jax.scipy.linalg.solve_triangular(
+                L_tail, rhs_t.reshape(-1), lower=True)
+            x_t = jax.scipy.linalg.solve_triangular(
+                L_tail, y_t, lower=True, trans=1).reshape(T, d)
+            x = x.at[self.tail_cols].set(x_t)
+        # backward: leading levels in reverse; x_j = L_jj^{-T}(y_j - sum L_ij^T x_i)
         for li in reversed(self.level_indices):
             rhs = y[li.cols]
             if len(li.sub_ids):
@@ -240,5 +324,5 @@ class SparseCholeskySolver:
 
     def solve(self, arrays, lam=0.0):
         blocks, g = self.system(arrays)
-        Lb = self.factorize(blocks, lam)
-        return self.solve_factored(Lb, g)
+        factored = self.factorize(blocks, lam)
+        return self.solve_factored(factored, g)

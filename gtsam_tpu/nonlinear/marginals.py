@@ -1,0 +1,83 @@
+"""Marginal covariances from an optimized factor graph.
+
+Reference: gtsam/nonlinear/Marginals.h:32 (marginalCovariance:114,
+jointMarginalCovariance).  Dense information-matrix inverse for small/medium
+graphs; per-key selected solves against the sparse factorization for large ones
+(solve H X = E_key and read the key's rows).
+"""
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import manifolds
+from ..graph.graph import FactorGraph
+from ..graph.values import Values
+
+
+class Marginals:
+    def __init__(self, graph: FactorGraph, values: Values, sparse: bool = False):
+        self.values = values
+        self.layout = values.layout()
+        bound = graph.bind(values)
+        if sparse:
+            from ..linear.sparse import SparseCholeskySolver
+            self._solver = SparseCholeskySolver(bound)
+            self._factored = None
+            self._g_shape = None
+            blocks, _g = self._solver.system(values.arrays)
+            self._factored = self._solver.factorize(blocks, 0.0)
+            self._H = None
+        else:
+            H, _ = jax.jit(bound.gn_system)(values.arrays)
+            self._H = H
+            self._cov = jnp.linalg.inv(H)
+            self._solver = None
+
+    def _slice(self, key):
+        t = self.values.type_of(key)
+        row = self.values.row_of(key)
+        off = int(self.layout.offsets[t][row])
+        dim = manifolds.get(t).dim
+        return off, dim
+
+    def marginal_covariance(self, key) -> jnp.ndarray:
+        off, dim = self._slice(key)
+        if self._solver is None:
+            return self._cov[off:off + dim, off:off + dim]
+        # selected solve: columns e_off..e_off+dim of H^{-1}
+        cols = []
+        for k in range(dim):
+            g = jnp.zeros(self.layout.total_dim).at[off + k].set(1.0)
+            gp = self._g_padded(g)
+            x = self._solver.solve_factored(self._factored, gp)
+            cols.append(x[off:off + dim])
+        return jnp.stack(cols, axis=1)
+
+    def _g_padded(self, flat_g):
+        """Canonical flat vector -> solver's permuted padded (nvars, d) layout."""
+        s = self._solver
+        g = jnp.zeros((s.nvars, s.d), dtype=flat_g.dtype)
+        for dim in np.unique(s.var_dims):
+            sel = np.where(s.var_dims == dim)[0]
+            offs = s.var_offsets[sel]
+            idx = offs[:, None] + np.arange(dim)[None, :]
+            g = g.at[s.sym.inv_perm[sel], :dim].set(flat_g[idx])
+        return g
+
+    def joint_marginal_covariance(self, keys: Sequence) -> jnp.ndarray:
+        slices = [self._slice(k) for k in keys]
+        idx = np.concatenate([np.arange(o, o + d) for o, d in slices])
+        if self._solver is None:
+            return self._cov[np.ix_(idx, idx)]
+        cols = []
+        for k in idx:
+            g = jnp.zeros(self.layout.total_dim).at[int(k)].set(1.0)
+            x = self._solver.solve_factored(self._factored, self._g_padded(g))
+            cols.append(x[idx])
+        return jnp.stack(cols, axis=1)
+
+    def marginal_information(self, key) -> jnp.ndarray:
+        return jnp.linalg.inv(self.marginal_covariance(key))

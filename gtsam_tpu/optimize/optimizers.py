@@ -111,8 +111,8 @@ class SparseSolver:
     def solve(self, system, lam, diagonal_damping):
         blocks, g = system
         # diagonal_damping not yet supported in sparse path; lam*I only
-        Lb = self._s.factorize(blocks, lam)
-        return self._s.solve_factored(Lb, g)
+        factored = self._s.factorize(blocks, lam)
+        return self._s.solve_factored(factored, g)
 
 
 def _make_step_fns(graph: FactorGraph, values: Values, solver=None):
