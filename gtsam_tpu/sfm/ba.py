@@ -66,7 +66,29 @@ def _invert_3x3_psd(H, lam):
     return jnp.linalg.inv(Hd)
 
 
-def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False):
+def _dense_spd_solve(S, rhs, mixed_precision=False, refine_iters=2):
+    """Cholesky solve; optionally factorize in f32 on the MXU and recover f64
+    accuracy with iterative refinement (TPU f64 is emulated and slow/expensive
+    to compile at scale — SURVEY.md §7 'f32 + iterative refinement')."""
+    if not mixed_precision or S.dtype == jnp.float32:
+        L = jnp.linalg.cholesky(S)
+        return jax.scipy.linalg.cho_solve((L, True), rhs)
+    S32 = S.astype(jnp.float32)
+    L32 = jnp.linalg.cholesky(S32)
+
+    def solve32(r):
+        return jax.scipy.linalg.cho_solve((L32, True),
+                                          r.astype(jnp.float32)).astype(S.dtype)
+
+    x = solve32(rhs)
+    for _ in range(refine_iters):
+        r = rhs - S @ x
+        x = x + solve32(r)
+    return x
+
+
+def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False,
+                mixed_precision=False):
     """Solve the damped GN system by landmark elimination.
 
     A_cam: (K, 2, 9), A_pt: (K, 2, 3), b: (K, 2) — whitened, sorted by point.
@@ -123,8 +145,7 @@ def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False)
     S = S.at[r_of(diag_idx), c_of(diag_idx)].add(Hpp_d)
 
     # dense factorize + solve
-    L = jnp.linalg.cholesky(S)
-    dc = jax.scipy.linalg.cho_solve((L, True), gp_t.reshape(-1)).reshape(M, 9)
+    dc = _dense_spd_solve(S, gp_t.reshape(-1), mixed_precision).reshape(M, 9)
 
     # back-substitute landmarks
     Wt_dc = jnp.einsum("kij,ki->kj", W, dc[seg_cam])   # (K, 3)
@@ -134,7 +155,7 @@ def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False)
 
 
 def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
-                verbose: bool = False, dtype=None):
+                verbose: bool = False, dtype=None, mixed_precision: bool = False):
     """Full BAL bundle adjustment: LM with Schur elimination.
 
     Returns (values_dict, info).  Reference flow: timing/timeSFMBAL.h (LM with
@@ -173,7 +194,8 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
 
     @partial(jax.jit, static_argnums=(6,))
     def try_step(cams, pts, A_cam, A_pt, b, lam, diagonal_damping):
-        dc, dl = schur_solve(st, A_cam, A_pt, b, lam, diagonal_damping)
+        dc, dl = schur_solve(st, A_cam, A_pt, b, lam, diagonal_damping,
+                             mixed_precision=mixed_precision)
         new_cams = jax.vmap(bal_retract)(cams, dc)
         new_pts = pts + dl
         return new_cams, new_pts, error_fn(new_cams, new_pts)
