@@ -33,6 +33,9 @@ class FactorBatch:
     residual_fn: Callable            # (xs, meas) -> (rdim,)
     measurements: Any                # pytree with leading dim N (or None)
     noise: NoiseModel
+    # optional custom whitened linearization (smart factors etc.):
+    # (xs_one, meas_one) -> (tuple of (rdim, d_i) jacobians, (rdim,) b)
+    linearize_fn: Callable = None
 
     def __post_init__(self):
         self.keys = np.atleast_2d(np.asarray(self.keys, dtype=np.int64))
@@ -62,6 +65,10 @@ def linearize(batch: FactorBatch, xs):
     Returns (A: tuple of (N, rdim, d_i), b: (N, rdim)) with convention
     ||A dx - b||^2,  b = -whitened_residual.
     """
+    if batch.linearize_fn is not None:
+        J, b = jax.vmap(batch.linearize_fn)(xs, batch.measurements)
+        return J, b
+
     dims = batch.dims()
     retracts = tuple(manifolds.get(t).retract for t in batch.var_types)
 

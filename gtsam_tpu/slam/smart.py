@@ -1,0 +1,142 @@
+"""Smart projection factors: structureless bundle adjustment.
+
+Reference: gtsam/slam/SmartProjectionFactor.h:44 / SmartProjectionPoseFactor.h —
+the landmark is triangulated from the current cameras (cached triangulateSafe)
+and eliminated analytically; the resulting camera-only factor is the
+Q-projected Jacobian factor (JacobianFactorQ.h):
+    A = Q F,  b = -Q r,  Q = I - E (E^T E)^-1 E^T
+where F/E are the reprojection Jacobians wrt cameras/point
+(CameraSet::SchurComplement, CameraSet.h:174).  Degenerate triangulations zero
+the whole factor (SmartFactorParams degeneracyMode = ZERO_ON_DEGENERACY).
+
+TPU design: one batch = all tracks, padded to M cameras/track with masks;
+triangulation, Jacobians (autodiff), and the Q projection are vmapped per track.
+"""
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..base import noise as noise_mod
+from ..geometry import se3, triangulation as tri
+from ..geometry.cameras import calibrate_cal3s2, uncalibrate_cal3s2
+from ..geometry.se3 import SE3
+from ..graph import factors as factors_mod
+
+
+def smart_projection_factors(pose_keys: np.ndarray, measurements: np.ndarray,
+                             mask: np.ndarray, K,
+                             pixel_sigma: float = 1.0,
+                             body_P_sensor: SE3 = None) -> factors_mod.FactorBatch:
+    """Build a smart-factor batch.
+
+    pose_keys: (T, M) int64 — camera-pose key per observation (padded rows
+      repeat a valid key with mask=0).
+    measurements: (T, M, 2) pixels;  mask: (T, M) valid flags.
+    K: (5,) Cal3_S2 [fx, fy, s, u0, v0] shared calibration
+      (SmartProjectionPoseFactor: fixed K).
+    """
+    T, M = pose_keys.shape
+    K = jnp.asarray(K, dtype=jnp.result_type(float))
+    meas = (jnp.asarray(measurements, dtype=jnp.result_type(float)),
+            jnp.asarray(mask, dtype=bool))
+    inv_sigma = 1.0 / pixel_sigma
+
+    def _poses_from_xs(xs):
+        R = jnp.stack([x.R for x in xs])
+        t = jnp.stack([x.t for x in xs])
+        if body_P_sensor is not None:
+            cams = se3.compose(SE3(R, t), body_P_sensor)
+            return cams
+        return SE3(R, t)
+
+    def _triangulate(poses, uv, m):
+        pn = calibrate_cal3s2(K, uv)  # normalized coords
+        res = tri.triangulate_safe(poses, pn, m)
+        return res
+
+    def _reproj_residual(poses, point, uv, m):
+        pc = se3.transform_to(poses, point[None].repeat(M, 0))
+        z = pc[..., 2]
+        ok = (z > 1e-8) & m
+        zs = jnp.where(ok, z, 1.0)
+        pn = pc[..., :2] / zs[..., None]
+        pix = uncalibrate_cal3s2(K, pn)
+        r = jnp.where(ok[..., None], pix - uv, 0.0)
+        return r, ok
+
+    def residual_one(xs, meas_one):
+        uv, m = meas_one
+        poses = _poses_from_xs(xs)
+        t3 = _triangulate(poses, uv, m)
+        r, ok = _reproj_residual(poses, t3.point, uv, m)
+        r = jnp.where(t3.valid, r * inv_sigma, 0.0)
+        return r.reshape(-1)
+
+    def linearize_one(xs, meas_one):
+        uv, m = meas_one
+        poses = _poses_from_xs(xs)
+        t3 = _triangulate(poses, uv, m)
+        point = jax.lax.stop_gradient(t3.point)
+
+        # F blocks: dr_m/dpose_m (2, 6) via tangent perturbation; E: dr/dpoint
+        def r_of_perturbed(deltas, p):
+            xs_p = tuple(se3.retract(x, d) for x, d in zip(xs, deltas))
+            ps = _poses_from_xs(xs_p)
+            r, _ = _reproj_residual(ps, p, uv, m)
+            return r.reshape(-1)  # (2M,)
+
+        zeros = tuple(jnp.zeros(6, dtype=uv.dtype) for _ in range(M))
+        F = jax.jacfwd(r_of_perturbed, argnums=0)(zeros, point)  # tuple of (2M, 6)
+        E = jax.jacfwd(lambda p: r_of_perturbed(zeros, p))(point)  # (2M, 3)
+        r, _ok = _reproj_residual(poses, point, uv, m)
+        r = r.reshape(-1)
+
+        # whiten
+        F = tuple(f * inv_sigma for f in F)
+        E = E * inv_sigma
+        r = r * inv_sigma
+
+        # Q = I - E (E^T E + eps)^-1 E^T  (projector onto point's null space)
+        EtE = E.T @ E + 1e-10 * jnp.eye(3, dtype=E.dtype)
+        P = jnp.linalg.inv(EtE)
+        QE = E @ P
+
+        def q_apply(v):
+            return v - QE @ (E.T @ v)
+
+        A = tuple(q_apply(f) for f in F)
+        b = -q_apply(r)
+        # degenerate: zero the factor entirely
+        valid = t3.valid
+        A = tuple(jnp.where(valid, a, 0.0) for a in A)
+        b = jnp.where(valid, b, 0.0)
+        return A, b
+
+    return factors_mod.FactorBatch(
+        name="SmartProjectionPose",
+        var_types=("SE3",) * M,
+        keys=np.asarray(pose_keys, dtype=np.int64),
+        rdim=2 * M,
+        residual_fn=residual_one,
+        measurements=meas,
+        noise=noise_mod.unit(),
+        linearize_fn=linearize_one,
+    )
+
+
+def triangulate_tracks(pose_keys, measurements, mask, K, values):
+    """Convenience: current triangulations of all tracks (for inspection)."""
+    T, M = pose_keys.shape
+    rows = values.rows_of("SE3", pose_keys.reshape(-1))
+    R = values.arrays["SE3"].R[rows].reshape(T, M, 3, 3)
+    t = values.arrays["SE3"].t[rows].reshape(T, M, 3)
+    K = jnp.asarray(K)
+
+    def one(Rk, tk, uv, m):
+        pn = calibrate_cal3s2(K, uv)
+        return tri.triangulate_safe(SE3(Rk, tk), pn, m)
+
+    return jax.vmap(one)(R, t, jnp.asarray(measurements), jnp.asarray(mask))

@@ -1,0 +1,89 @@
+"""Smart projection factor tests (testSmartProjectionPoseFactor idioms)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import gtsam_tpu as gt
+from gtsam_tpu.geometry import so3
+from gtsam_tpu.geometry.cameras import uncalibrate_cal3s2
+from gtsam_tpu.geometry.se3 import SE3
+from gtsam_tpu.slam.smart import smart_projection_factors
+
+rng = np.random.default_rng(4)
+K = np.array([500.0, 500.0, 0.0, 320.0, 240.0])
+
+
+def make_scene(n_poses=5, n_lm=25, pix_noise=0.5):
+    poses_t = np.stack([np.array([i * 0.5, 0, 0]) for i in range(n_poses)])
+    poses_R = np.stack([np.eye(3)] * n_poses)
+    lms = rng.uniform([-2, -2, 4], [4, 2, 8], size=(n_lm, 3))
+    uv = np.zeros((n_lm, n_poses, 2))
+    for j in range(n_lm):
+        for i in range(n_poses):
+            pc = poses_R[i].T @ (lms[j] - poses_t[i])
+            pn = pc[:2] / pc[2]
+            uv[j, i] = np.asarray(uncalibrate_cal3s2(jnp.asarray(K),
+                                                     jnp.asarray(pn)))
+    uv += rng.normal(scale=pix_noise, size=uv.shape)
+    mask = np.ones((n_lm, n_poses), bool)
+    keys = np.tile(np.arange(n_poses), (n_lm, 1))
+    return poses_R, poses_t, lms, keys, uv, mask
+
+
+class TestSmartFactors:
+    def test_pose_recovery(self):
+        poses_R, poses_t, lms, keys, uv, mask = make_scene()
+        g = gt.FactorGraph()
+        g.add(gt.prior_factors("SE3", [0], SE3(poses_R[:1], poses_t[:1]),
+                               gt.noise.sigmas([[1e-4] * 6])))
+        g.add(gt.prior_factors("SE3", [1], SE3(poses_R[1:2], poses_t[1:2]),
+                               gt.noise.sigmas([[10, 10, 10, 0.01, 10, 10]])))
+        g.add(smart_projection_factors(keys, uv, mask, K, pixel_sigma=0.5))
+        entries = []
+        for i in range(5):
+            dR = np.asarray(so3.expmap(jnp.asarray(rng.normal(scale=0.02, size=3))))
+            entries.append((i, "SE3", SE3(
+                jnp.asarray(poses_R[i] @ dR),
+                jnp.asarray(poses_t[i] + rng.normal(scale=0.05, size=3)))))
+        init = gt.Values.from_entries(entries)
+        res = gt.levenberg_marquardt(g, init, gt.LMParams(max_iterations=30))
+        est_t = np.asarray(res.values.arrays["SE3"].t)
+        assert np.abs(est_t - poses_t).max() < 0.05
+
+    def test_masked_observations(self):
+        """Tracks with partial visibility (padded rows) still work."""
+        poses_R, poses_t, lms, keys, uv, mask = make_scene(n_lm=15)
+        mask[:, -1] = False  # last camera sees nothing
+        mask[0, 2] = False
+        g = gt.FactorGraph()
+        g.add(gt.prior_factors("SE3", [0, 1],
+                               SE3(poses_R[:2], poses_t[:2]),
+                               gt.noise.sigmas([[1e-4] * 6] * 2)))
+        g.add(smart_projection_factors(keys, uv, mask, K, pixel_sigma=0.5))
+        entries = [(i, "SE3", SE3(jnp.asarray(poses_R[i]),
+                                  jnp.asarray(poses_t[i]
+                                              + rng.normal(scale=0.03, size=3))))
+                   for i in range(5)]
+        init = gt.Values.from_entries(entries)
+        res = gt.levenberg_marquardt(g, init, gt.LMParams(max_iterations=20))
+        est_t = np.asarray(res.values.arrays["SE3"].t)
+        # cameras 0..3 constrained by observations; camera 4 only weakly —
+        # check the observed ones
+        assert np.abs(est_t[:4] - poses_t[:4]).max() < 0.05
+
+    def test_degenerate_track_zeroed(self):
+        """A track seen by a single camera (after masking) must not blow up."""
+        poses_R, poses_t, lms, keys, uv, mask = make_scene(n_lm=8)
+        mask[3, 1:] = False  # track 3: single observation -> degenerate
+        g = gt.FactorGraph()
+        g.add(gt.prior_factors("SE3", [0, 1],
+                               SE3(poses_R[:2], poses_t[:2]),
+                               gt.noise.sigmas([[1e-4] * 6] * 2)))
+        g.add(smart_projection_factors(keys, uv, mask, K))
+        entries = [(i, "SE3", SE3(jnp.asarray(poses_R[i]), jnp.asarray(poses_t[i])))
+                   for i in range(5)]
+        init = gt.Values.from_entries(entries)
+        err = float(g.error(init))
+        assert np.isfinite(err)
+        res = gt.gauss_newton(g, init, gt.OptimizerParams(max_iterations=5))
+        assert np.isfinite(res.error)
