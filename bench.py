@@ -19,6 +19,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# TPU-native precision policy for the benchmark: f32 end-to-end (f64 on this
+# TPU is software-emulated and multiplies compile time ~5-10x at this scale;
+# chi2/ATE parity is validated separately in f64 on CPU by the test suite).
+os.environ.setdefault("GTSAM_TPU_NO_X64", "1")
+
 
 def main():
     scale = os.environ.get("BENCH_SCALE", "ladybug")
@@ -40,48 +45,18 @@ def main():
 
     prob = synthetic.make_bal_problem(num_cameras=M, num_points=N,
                                       obs_per_point=OPP, seed=0)
-    st, order = ba.SchurStructure.build(prob.obs_cam, prob.obs_pt,
-                                        prob.num_cameras, prob.num_points)
-    uv = jnp.asarray(prob.obs_uv[order])
-    K = len(st.obs_cam)
-    batch = factors_mod.custom_factors(
-        "ProjectionBal", ("BalCamera", "Point3"),
-        np.zeros((K, 2), dtype=np.int64),
-        bal._projection_residual, 2, uv, noise_mod.unit())
-    obs_cam = jnp.asarray(st.obs_cam)
-    obs_pt = jnp.asarray(st.obs_pt)
 
-    import functools
-
-    @jax.jit
-    def lm_step(cams, pts, lam):
-        cam_k = jax.tree.map(lambda a: a[obs_cam], cams)
-        pt_k = pts[obs_pt]
-        (A_cam, A_pt), b = factors_mod.linearize(batch, (cam_k, pt_k))
-        dc, dl = ba.schur_solve(st, A_cam, A_pt, b, lam, mixed_precision=True)
-        new_cams = jax.vmap(bal_retract)(cams, dc)
-        new_pts = pts + dl
-        r = factors_mod.residuals(batch, (cam_k, pt_k))
-        return new_cams, new_pts, 0.5 * jnp.sum(r * r)
-
-    cams = BalCamera(SE3(jnp.asarray(prob.cam_R), jnp.asarray(prob.cam_t)),
-                     jnp.asarray(prob.cam_calib))
-    pts = jnp.asarray(prob.points)
-
-    # warmup (compile)
+    lm_params = gt.LMParams(max_iterations=8)
+    # cold run: compiles everything (persistent cache makes reruns cheap)
     t0 = time.time()
-    out = lm_step(cams, pts, jnp.asarray(1e-4))
-    jax.block_until_ready(out)
+    _vals, info0 = ba.ba_optimize(prob, lm_params, mixed_precision=True)
     compile_s = time.time() - t0
-
-    # timed iterations
-    iters = 5
+    # warm run: honest full LM (linearize + Schur + solve + accept/reject)
     t0 = time.time()
-    c, p = cams, pts
-    for _ in range(iters):
-        c, p, err = lm_step(c, p, jnp.asarray(1e-4))
-    jax.block_until_ready((c, p, err))
-    per_iter = (time.time() - t0) / iters
+    _vals, info = ba.ba_optimize(prob, lm_params, mixed_precision=True)
+    wall = time.time() - t0
+    per_iter = wall / max(info["iterations"], 1)
+    err = info["error"]
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "baselines", "reference_cpu.json")
@@ -100,8 +75,10 @@ def main():
         "value": round(per_iter, 4),
         "unit": "s/iter",
         "vs_baseline": round(vs_baseline, 3),
-        "extra": {"compile_s": round(compile_s, 1),
+        "extra": {"cold_s": round(compile_s, 1),
                   "final_half_chi2": float(err),
+                  "iters": info["iterations"],
+                  "converged": info["converged"],
                   "device": str(jax.devices()[0])},
     }))
 

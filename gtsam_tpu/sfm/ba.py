@@ -67,24 +67,31 @@ def _invert_3x3_psd(H, lam):
 
 
 def _dense_spd_solve(S, rhs, mixed_precision=False, refine_iters=2):
-    """Cholesky solve; optionally factorize in f32 on the MXU and recover f64
-    accuracy with iterative refinement (TPU f64 is emulated and slow/expensive
-    to compile at scale — SURVEY.md §7 'f32 + iterative refinement')."""
+    """Jacobi-equilibrated Cholesky solve; optionally factorize in f32 on the
+    MXU and recover accuracy with iterative refinement (TPU f64 is emulated and
+    slow/expensive to compile at scale — SURVEY.md §7 'f32 + refinement').
+
+    Equilibration D^-1/2 S D^-1/2 removes the scale-induced conditioning of BA
+    systems (focal lengths vs distortion coefficients span ~1e10)."""
+    d = jnp.clip(jnp.diagonal(S), 1e-12, None)
+    s = jax.lax.rsqrt(d)
+    Se = S * s[:, None] * s[None, :]
+    rhe = rhs * s
     if not mixed_precision or S.dtype == jnp.float32:
-        L = jnp.linalg.cholesky(S)
-        return jax.scipy.linalg.cho_solve((L, True), rhs)
-    S32 = S.astype(jnp.float32)
+        L = jnp.linalg.cholesky(Se)
+        return jax.scipy.linalg.cho_solve((L, True), rhe) * s
+    S32 = Se.astype(jnp.float32)
     L32 = jnp.linalg.cholesky(S32)
 
     def solve32(r):
         return jax.scipy.linalg.cho_solve((L32, True),
                                           r.astype(jnp.float32)).astype(S.dtype)
 
-    x = solve32(rhs)
+    x = solve32(rhe)
     for _ in range(refine_iters):
-        r = rhs - S @ x
+        r = rhe - Se @ x
         x = x + solve32(r)
-    return x
+    return x * s
 
 
 def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False,
