@@ -44,6 +44,36 @@ def imu_factors(keys_xi, keys_vi, keys_xj, keys_vj, keys_bi,
     )
 
 
+def combined_imu_factors(keys_xi, keys_vi, keys_xj, keys_vj, keys_bi, keys_bj,
+                         cpims, params: PreintegrationParams
+                         ) -> factors_mod.FactorBatch:
+    """6-way CombinedImuFactor (gtsam/navigation/CombinedImuFactor.h): 15-dim
+    residual [imu error(9); bias_j - bias_i (6)] with the full joint
+    preintegrated covariance."""
+
+    def fn(xs, meas):
+        pose_i, vel_i, pose_j, vel_j, bias_i, bias_j = xs
+        pim, _cov15 = meas
+        state_i = NavState(pose_i.R, pose_i.t, vel_i)
+        state_j = NavState(pose_j.R, pose_j.t, vel_j)
+        r_imu = compute_error(state_i, state_j, bias_i, pim, params)
+        import jax.numpy as jnp
+        return jnp.concatenate([r_imu, bias_j - bias_i])
+
+    keys = np.stack([np.asarray(k) for k in
+                     (keys_xi, keys_vi, keys_xj, keys_vj, keys_bi, keys_bj)],
+                    axis=1)
+    return factors_mod.FactorBatch(
+        name="CombinedImuFactor",
+        var_types=("SE3", "Vec3", "SE3", "Vec3", "Vec6", "Vec6"),
+        keys=keys,
+        rdim=15,
+        residual_fn=fn,
+        measurements=cpims,
+        noise=noise_mod.covariance(cpims.cov15),
+    )
+
+
 def bias_between_factors(keys_bi, keys_bj, params: PreintegrationParams,
                          delta_ts) -> factors_mod.FactorBatch:
     """Bias random-walk between factors (the CombinedImuFactor bias-evolution

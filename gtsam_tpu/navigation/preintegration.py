@@ -117,6 +117,67 @@ def merge(pim1: PIM, pim2: PIM) -> PIM:
     return PIM(zeta, Ha, Hw, cov, pim1.bias_hat, t1 + t2)
 
 
+class CombinedPIM(NamedTuple):
+    """PreintegratedCombinedMeasurements: PIM + full 15x15 covariance over
+    [zeta(9); bias_acc(3); bias_gyro(3)] including in-interval bias random walk
+    (gtsam/navigation/CombinedImuFactor.{h,cpp})."""
+
+    pim: PIM
+    cov15: jnp.ndarray  # (15, 15)
+
+
+def preintegrate_combined(accs, gyros, dts, bias_hat,
+                          params: PreintegrationParams) -> CombinedPIM:
+    """Combined preintegration: the zeta scan of `preintegrate` plus joint
+    (zeta, bias) covariance propagation F P F^T + G Q G^T."""
+    dt_acc = jnp.result_type(float)
+    accs = jnp.asarray(accs, dtype=dt_acc)
+    gyros = jnp.asarray(gyros, dtype=dt_acc)
+    dts = jnp.asarray(dts, dtype=dt_acc)
+    bias_hat = jnp.asarray(bias_hat, dtype=dt_acc)
+    aCov = params.accel_sigma ** 2 * jnp.eye(3, dtype=dt_acc)
+    wCov = params.gyro_sigma ** 2 * jnp.eye(3, dtype=dt_acc)
+    iCov = params.integration_sigma ** 2 * jnp.eye(3, dtype=dt_acc)
+    baCov = params.bias_acc_sigma ** 2 * jnp.eye(3, dtype=dt_acc)
+    bwCov = params.bias_omega_sigma ** 2 * jnp.eye(3, dtype=dt_acc)
+
+    def step(carry, inp):
+        zeta, Ha, Hw, P, t = carry
+        a_meas, w_meas, dt = inp
+        a = a_meas - bias_hat[:3]
+        w = w_meas - bias_hat[3:]
+        A = jax.jacfwd(_update_zeta, argnums=0)(zeta, a, w, dt)
+        B = jax.jacfwd(_update_zeta, argnums=1)(zeta, a, w, dt)
+        C = jax.jacfwd(_update_zeta, argnums=2)(zeta, a, w, dt)
+        new_zeta = _update_zeta(zeta, a, w, dt)
+        # F: zeta depends on bias error through -B, -C; bias errors persist
+        F = jnp.block([
+            [A, -B, -C],
+            [jnp.zeros((6, 9), dtype=dt_acc), jnp.eye(6, dtype=dt_acc)],
+        ])
+        Q = jnp.zeros((15, 15), dtype=dt_acc)
+        Q = Q.at[:9, :9].set(B @ (aCov / dt) @ B.T + C @ (wCov / dt) @ C.T)
+        Q = Q.at[3:6, 3:6].add(iCov * dt)
+        Q = Q.at[9:12, 9:12].set(baCov * dt)
+        Q = Q.at[12:15, 12:15].set(bwCov * dt)
+        new_P = F @ P @ F.T + Q
+        new_Ha = A @ Ha - B
+        new_Hw = A @ Hw - C
+        return (new_zeta, new_Ha, new_Hw, new_P, t + dt), None
+
+    z0 = jnp.zeros(9, dtype=dt_acc)
+    H0 = jnp.zeros((9, 3), dtype=dt_acc)
+    # initial bias uncertainty (p().biasAccOmegaInt analog) keeps cov15 nonsingular
+    P0 = jnp.zeros((15, 15), dtype=dt_acc)
+    P0 = P0.at[9:, 9:].set(params.bias_acc_omega_init ** 2 *
+                           jnp.eye(6, dtype=dt_acc))
+    (zeta, Ha, Hw, P, t), _ = jax.lax.scan(
+        step, (z0, H0, H0, P0, jnp.zeros((), dtype=dt_acc)),
+        (accs, gyros, dts))
+    pim = PIM(zeta, Ha, Hw, P[:9, :9], bias_hat, t)
+    return CombinedPIM(pim, P)
+
+
 def bias_corrected_delta(pim: PIM, bias):
     """TangentPreintegration::biasCorrectedDelta (first-order in bias change)."""
     incr = bias - pim.bias_hat

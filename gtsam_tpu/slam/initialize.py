@@ -108,3 +108,77 @@ def initialize_pose3_chordal(graph: FactorGraph, anchor_key=None) -> Values:
     return Values.from_entries(
         [(k, "SE3", SE3(jnp.asarray(R[idx[k]]), jnp.asarray(t[idx[k]])))
          for k in keys])
+
+
+def initialize_pose2_lago(graph: FactorGraph, anchor_key=None) -> Values:
+    """LAGO 2D initialization (gtsam/slam/lago.{h,cpp}): orientations first from
+    a linear system with 2-pi corrections off a spanning tree, then positions
+    linearly."""
+    edges = []
+    for b in graph.batches:
+        if b.var_types == ("SE2", "SE2") and b.name.startswith("Between"):
+            m = np.asarray(b.measurements)
+            for n in range(b.num_factors):
+                edges.append((int(b.keys[n, 0]), int(b.keys[n, 1]),
+                              m[n, 0], m[n, 1], m[n, 2]))
+    if not edges:
+        raise ValueError("no BetweenSE2 factors")
+    keys = sorted({k for e in edges for k in (e[0], e[1])})
+    idx = {k: i for i, k in enumerate(keys)}
+    n = len(keys)
+    a = idx[anchor_key] if anchor_key is not None else 0
+
+    # spanning tree (BFS) -> initial theta guesses
+    adj = {}
+    for ei, (i, j, dx, dy, dth) in enumerate(edges):
+        adj.setdefault(idx[i], []).append((idx[j], dth, ei))
+        adj.setdefault(idx[j], []).append((idx[i], -dth, ei))
+    theta0 = np.full(n, np.nan)
+    theta0[a] = 0.0
+    stack = [a]
+    while stack:
+        u = stack.pop()
+        for (v, dth, _e) in adj.get(u, []):
+            if np.isnan(theta0[v]):
+                theta0[v] = theta0[u] + dth
+                stack.append(v)
+    theta0 = np.nan_to_num(theta0)
+
+    # linear orientation solve with integer 2pi corrections from theta0
+    rows, cols, vals, rhs = [], [], [], []
+    rc = 0
+    for (i, j, _dx, _dy, dth) in edges:
+        ii, jj = idx[i], idx[j]
+        k2pi = np.round((theta0[jj] - theta0[ii] - dth) / (2 * np.pi))
+        rows += [rc, rc]
+        cols += [jj, ii]
+        vals += [1.0, -1.0]
+        rhs.append(dth + 2 * np.pi * k2pi)
+        rc += 1
+    rows.append(rc); cols.append(a); vals.append(10.0); rhs.append(0.0)
+    A = sp.csr_matrix((vals, (rows, cols)), shape=(rc + 1, n))
+    theta = spla.splu((A.T @ A).tocsc()).solve(A.T @ np.asarray(rhs))
+
+    # linear position solve with fixed orientations
+    rows, cols, vals, rhs = [], [], [], []
+    rc = 0
+    for (i, j, dx, dy, _dth) in edges:
+        ii, jj = idx[i], idx[j]
+        c, s = np.cos(theta[ii]), np.sin(theta[ii])
+        wx, wy = c * dx - s * dy, s * dx + c * dy
+        for r, w in ((0, wx), (1, wy)):
+            rows += [rc, rc]
+            cols += [2 * jj + r, 2 * ii + r]
+            vals += [1.0, -1.0]
+            rhs.append(w)
+            rc += 1
+    for r in range(2):
+        rows.append(rc + r); cols.append(2 * a + r); vals.append(10.0)
+        rhs.append(0.0)
+    A = sp.csr_matrix((vals, (rows, cols)), shape=(rc + 2, 2 * n))
+    xy = spla.splu((A.T @ A).tocsc()).solve(A.T @ np.asarray(rhs)).reshape(n, 2)
+
+    import jax.numpy as jnp
+    return Values.from_entries(
+        [(k, "SE2", jnp.asarray([xy[idx[k], 0], xy[idx[k], 1], theta[idx[k]]]))
+         for k in keys])

@@ -165,3 +165,52 @@ class TestAttitude:
         np.testing.assert_allclose(float(jnp.linalg.norm(q)), 1.0, atol=1e-12)
         np.testing.assert_allclose(np.asarray(unit3.local(p, q)), np.asarray(xi),
                                    atol=1e-12)
+
+
+class TestLagoAndAux:
+    def test_lago_w100(self):
+        from gtsam_tpu.io import datasets
+        from gtsam_tpu.slam.initialize import initialize_pose2_lago
+        graph, initial = datasets.load_2d(datasets.find_example_data("w100.graph"))
+        graph.add(gt.prior_factors("SE2", [0], np.asarray(initial.at(0))[None],
+                                   gt.noise.sigmas([[0.01] * 3])))
+        v0 = initialize_pose2_lago(graph)
+        # lago must land close to the optimum basin
+        assert float(graph.error(v0)) < 1.0
+        res = gt.gauss_newton(graph, v0)
+        np.testing.assert_allclose(res.error, 0.568927, atol=1e-4)
+
+    def test_checkpoint_roundtrip(self):
+        from gtsam_tpu.utils import checkpoint
+        from gtsam_tpu.geometry.se3 import SE3
+        v = gt.Values.from_entries([
+            (1, "SE3", SE3(jnp.eye(3), jnp.asarray([1.0, 2, 3]))),
+            (2, "Point3", jnp.asarray([4.0, 5, 6]))])
+        checkpoint.save_values("/tmp/ckpt_ut", v, {"it": 7})
+        v2, extra = checkpoint.load_values("/tmp/ckpt_ut")
+        np.testing.assert_allclose(np.asarray(v2.arrays["SE3"].t),
+                                   [[1.0, 2, 3]])
+        assert int(extra["it"]) == 7
+
+    def test_combined_imu_consistency(self):
+        import jax
+        from gtsam_tpu.navigation.preintegration import (
+            PreintegrationParams, preintegrate_combined)
+        from gtsam_tpu.navigation import factors as nf
+        from gtsam_tpu.geometry.se3 import SE3
+        from gtsam_tpu.graph import factors as fm
+        params = PreintegrationParams(gravity=(0, 0, -9.81))
+        n = 50
+        accs = np.tile([0, 0, 9.81], (n, 1))
+        gyros = np.zeros((n, 3))
+        cpim = preintegrate_combined(accs, gyros, np.full(n, 0.01),
+                                     np.zeros(6), params)
+        assert np.linalg.eigvalsh(np.asarray(cpim.cov15)).min() > 0
+        cpims = jax.tree.map(lambda a: a[None], cpim)
+        batch = nf.combined_imu_factors([0], [1], [2], [3], [4], [5],
+                                        cpims, params)
+        xs = (SE3(jnp.eye(3)[None], jnp.zeros((1, 3))), jnp.zeros((1, 3)),
+              SE3(jnp.eye(3)[None], jnp.zeros((1, 3))), jnp.zeros((1, 3)),
+              jnp.zeros((1, 6)), jnp.zeros((1, 6)))
+        r = fm.residuals(batch, xs)
+        assert float(jnp.abs(r).max()) < 1e-12
