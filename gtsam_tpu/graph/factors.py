@@ -156,6 +156,21 @@ def prior_factors(tname: str, keys, measurements, noise: NoiseModel,
     )
 
 
+def slice_batch(batch: FactorBatch, rows) -> FactorBatch:
+    """Row-subset of a factor batch (shares residual_fn; slices data)."""
+    rows = np.asarray(rows)
+    noise = batch.noise
+    data = noise.data
+    if data is not None and data.shape[0] > 1:
+        data = data[rows]
+    return dataclasses.replace(
+        batch,
+        keys=batch.keys[rows],
+        measurements=jax.tree.map(lambda a: a[rows], batch.measurements),
+        noise=NoiseModel(noise.kind, data, noise.loss),
+    )
+
+
 def custom_factors(name: str, var_types, keys, residual_fn, rdim,
                    measurements, noise: NoiseModel) -> FactorBatch:
     """Arbitrary user residual — the CustomFactor/ExpressionFactor analog

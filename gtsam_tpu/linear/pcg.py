@@ -138,3 +138,112 @@ class PCGSolver:
         x, r, _z, _p, _gamma, it = jax.lax.while_loop(
             cond, body, (x0, r0, z0, p0, gamma0, jnp.zeros((), jnp.int32)))
         return x
+
+
+class SubgraphPCGSolver(PCGSolver):
+    """PCG preconditioned by a spanning-tree subgraph solve.
+
+    Reference: gtsam/linear/SubgraphSolver.h:76, SubgraphPreconditioner.h:54,
+    SubgraphBuilder — the classic 'solve the tree by elimination, CG on the
+    rest' combinatorial preconditioner.  The tree system factorizes with the
+    level-scheduled sparse solver (fill-free on trees).
+    """
+
+    def bind(self, bound):
+        super().bind(bound)
+        from ..base.dsf import DSF
+        from ..graph import factors as factors_mod
+        from ..graph.graph import BoundGraph
+        from .sparse import SparseCholeskySolver
+
+        # spanning structure: all unary rows + binary rows joining components
+        nvar = len(self._nvar_offsets)
+        off_to_var = {int(o): i for i, o in enumerate(self._nvar_offsets)}
+        dsf = DSF(nvar)
+        tree_rows = []
+        for bi, (b, st) in enumerate(zip(bound.graph.batches, bound.structures)):
+            if b.arity == 1:
+                tree_rows.append((bi, np.arange(b.num_factors)))
+                continue
+            rows = []
+            v0 = np.asarray([off_to_var[int(o)] for o in st.col_offsets[0]])
+            v1 = np.asarray([off_to_var[int(o)] for o in st.col_offsets[1]])
+            for n in range(b.num_factors):
+                if dsf.find(int(v0[n])) != dsf.find(int(v1[n])):
+                    dsf.union(int(v0[n]), int(v1[n]))
+                    rows.append(n)
+            if rows:
+                tree_rows.append((bi, np.asarray(rows)))
+
+        from ..graph.graph import FactorGraph
+        tree_batches = [factors_mod.slice_batch(bound.graph.batches[bi], rows)
+                        for bi, rows in tree_rows]
+        tree_graph = FactorGraph(tree_batches)
+        tree_bound = BoundGraph.__new__(BoundGraph)
+        tree_bound.graph = tree_graph
+        tree_bound.layout = bound.layout
+        from ..graph.graph import _BatchStructure
+        tree_bound.structures = [
+            _BatchStructure(
+                tuple(st.rows[s][rows] for s in range(b.arity)),
+                tuple(st.col_offsets[s][rows] for s in range(b.arity)))
+            for (bi, rows), b, st in zip(
+                tree_rows,
+                tree_batches,
+                [bound.structures[bi] for bi, _ in tree_rows])
+        ]
+        self._tree = SparseCholeskySolver(tree_bound)
+        return self
+
+    def system(self, arrays):
+        lin, g, diag = super().system(arrays)
+        tree_blocks, _tg = self._tree.system(arrays)
+        tree_fact = self._tree.factorize(tree_blocks, 1e-8)
+        return (lin, g, diag, tree_fact)
+
+    def solve(self, system, lam, diagonal_damping):
+        lin, g, diag, tree_fact = system
+
+        def apply_Minv(r):
+            return self._tree.solve_factored(tree_fact, self._tree_pad(r))
+
+        def matvec(v):
+            return self._matvec(lin, v, lam)
+
+        x0 = jnp.zeros_like(g)
+        r0 = g
+        z0 = apply_Minv(r0)
+        p0 = z0
+        gamma0 = r0 @ z0
+        tol2 = self.tol ** 2 * jnp.maximum(g @ g, 1e-300)
+
+        def cond(state):
+            _x, r, _z, _p, _gamma, it = state
+            return (r @ r > tol2) & (it < self.max_iterations)
+
+        def body(state):
+            x, r, z, p, gamma, it = state
+            Ap = matvec(p)
+            alpha = gamma / jnp.maximum(p @ Ap, 1e-300)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = apply_Minv(r)
+            gamma_new = r @ z
+            beta = gamma_new / jnp.maximum(gamma, 1e-300)
+            p = z + beta * p
+            return (x, r, z, p, gamma_new, it + 1)
+
+        x, *_ = jax.lax.while_loop(
+            cond, body, (x0, r0, z0, p0, gamma0, jnp.zeros((), jnp.int32)))
+        return x
+
+    def _tree_pad(self, flat_g):
+        """Canonical flat vector -> tree solver's permuted padded layout."""
+        s = self._tree
+        g = jnp.zeros((s.nvars, s.d), dtype=flat_g.dtype)
+        for dim in np.unique(s.var_dims):
+            sel = np.where(s.var_dims == dim)[0]
+            offs = s.var_offsets[sel]
+            idx = offs[:, None] + np.arange(dim)[None, :]
+            g = g.at[s.sym.inv_perm[sel], :dim].set(flat_g[idx])
+        return g

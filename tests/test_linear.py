@@ -89,3 +89,25 @@ class TestSparseCholesky:
         dx_d = _dense_solve(H, grad, 0.0, False)
         dx_s = solver.solve(vals.arrays, 0.0)
         np.testing.assert_allclose(np.asarray(dx_s), np.asarray(dx_d), atol=1e-9)
+
+
+class TestSubgraphPCG:
+    def test_matches_dense(self):
+        from gtsam_tpu.linear.pcg import SubgraphPCGSolver
+        g, vals = mixed_graph(n=40, nl=6)
+        bound = g.bind(vals)
+        H, grad = bound.gn_system(vals.arrays)
+        dx = _dense_solve(H, grad, 1e-3, False)
+        pcg = SubgraphPCGSolver(tol=1e-10).bind(bound)
+        dx_sg = pcg.solve(pcg.system(vals.arrays), 1e-3, False)
+        scale = float(jnp.abs(dx).max())
+        np.testing.assert_allclose(np.asarray(dx_sg), np.asarray(dx),
+                                   atol=1e-6 * max(scale, 1.0))
+
+    def test_lm_with_subgraph(self):
+        from gtsam_tpu.linear.pcg import SubgraphPCGSolver
+        g, vals = mixed_graph(n=30, nl=4)
+        r0 = gt.levenberg_marquardt(g, vals, gt.LMParams(max_iterations=12))
+        r1 = gt.levenberg_marquardt(g, vals, gt.LMParams(max_iterations=12),
+                                    solver=SubgraphPCGSolver())
+        np.testing.assert_allclose(r1.error, r0.error, rtol=1e-5)
