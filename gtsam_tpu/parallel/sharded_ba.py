@@ -131,14 +131,14 @@ def _local_schur(st: ShardedSchurStructure, A_cam, A_pt, b, lam, axis="tracks"):
     blocks = jnp.einsum("pij,plj->pil", WC[pa], W[pb]) * pval[:, None, None]
     ca, cb = seg_cam[pa], seg_cam[pb]
     D = 9 * M
-    S = jnp.zeros((D, D), dtype=dt)
-    r_of = lambda c: c[:, None, None] * 9 + jnp.arange(9, dtype=c.dtype)[None, :, None]
-    c_of = lambda c: c[:, None, None] * 9 + jnp.arange(9, dtype=c.dtype)[None, None, :]
-    S = S.at[r_of(ca), c_of(cb)].add(-blocks)
-    off = (pa != pb) & pval
-    S = S.at[r_of(cb), c_of(ca)].add(-jnp.swapaxes(blocks, 1, 2) * off[:, None, None])
+    # (M, M, 9, 9) block layout: (P,) indices + (9,9) windows (HBM-friendly)
+    S4 = jnp.zeros((M, M, 9, 9), dtype=dt)
+    S4 = S4.at[ca, cb].add(-blocks)
+    off = ((pa != pb) & pval)[:, None, None]
+    S4 = S4.at[cb, ca].add(-jnp.swapaxes(blocks, 1, 2) * off)
     diag_idx = jnp.arange(M, dtype=jnp.int32)
-    S = S.at[r_of(diag_idx), c_of(diag_idx)].add(Hpp)
+    S4 = S4.at[diag_idx, diag_idx].add(Hpp)
+    S = jnp.transpose(S4, (0, 2, 1, 3)).reshape(D, D)
 
     # combine the reduced camera system over the mesh (ICI)
     S = jax.lax.psum(S, axis)

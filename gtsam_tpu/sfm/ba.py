@@ -126,22 +126,24 @@ def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False,
     corr = jnp.einsum("kij,kj->ki", W, Cg[seg_pt])  # (K, 9)
     gp_t = gp - jax.ops.segment_sum(corr, seg_cam, M)
 
-    # reduced camera matrix: S[ca, cb] -= W_a C W_b^T for obs pairs in a track
+    # reduced camera matrix: S[ca, cb] -= W_a C W_b^T for obs pairs in a track.
+    # Assembled on an (M, M, 9, 9) block layout so the scatter carries (P,)
+    # indices with (9, 9) windows — no (P, 9, 9) index arrays (HBM-friendly);
+    # pair products are chunked to bound intermediates.
     WC = jnp.einsum("kij,kjl->kil", W, C[seg_pt])   # (K, 9, 3)
-    pa = jnp.asarray(st.pair_a)
-    pb = jnp.asarray(st.pair_b)
-    blocks = jnp.einsum("pij,plj->pil", WC[pa], W[pb])  # (P, 9, 9)
-    ca, cb = seg_cam[pa], seg_cam[pb]
-
-    D = 9 * M
-    S = jnp.zeros((D, D), dtype=dt)
-    r_of = lambda c: c[:, None, None] * 9 + jnp.arange(9, dtype=c.dtype)[None, :, None]
-    c_of = lambda c: c[:, None, None] * 9 + jnp.arange(9, dtype=c.dtype)[None, None, :]
-    S = S.at[r_of(ca), c_of(cb)].add(-blocks)
-    off = pa != pb
-    # symmetrize off-diagonal pairs (we built a <= b only)
-    S = S.at[r_of(cb), c_of(ca)].add(
-        -jnp.swapaxes(blocks, 1, 2) * off[:, None, None])
+    S4 = jnp.zeros((M, M, 9, 9), dtype=dt)
+    P_total = len(st.pair_a)
+    CHUNK = 1 << 20
+    for s0 in range(0, max(P_total, 1), CHUNK):
+        pa = jnp.asarray(st.pair_a[s0:s0 + CHUNK])
+        pb = jnp.asarray(st.pair_b[s0:s0 + CHUNK])
+        if len(pa) == 0:
+            continue
+        blocks = jnp.einsum("pij,plj->pil", WC[pa], W[pb])  # (p, 9, 9)
+        ca, cb = seg_cam[pa], seg_cam[pb]
+        S4 = S4.at[ca, cb].add(-blocks)
+        off = (pa != pb)[:, None, None]
+        S4 = S4.at[cb, ca].add(-jnp.swapaxes(blocks, 1, 2) * off)
     # add Hpp diagonal blocks + damping
     diag_idx = jnp.arange(M, dtype=jnp.int32)
     if diagonal_damping:
@@ -149,7 +151,8 @@ def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False,
         Hpp_d = Hpp + jax.vmap(jnp.diag)(damp)
     else:
         Hpp_d = Hpp + lam * jnp.eye(9, dtype=dt)
-    S = S.at[r_of(diag_idx), c_of(diag_idx)].add(Hpp_d)
+    S4 = S4.at[diag_idx, diag_idx].add(Hpp_d)
+    S = jnp.transpose(S4, (0, 2, 1, 3)).reshape(9 * M, 9 * M)
 
     # dense factorize + solve
     dc = _dense_spd_solve(S, gp_t.reshape(-1), mixed_precision).reshape(M, 9)
