@@ -131,14 +131,15 @@ def _local_schur(st: ShardedSchurStructure, A_cam, A_pt, b, lam, axis="tracks"):
     blocks = jnp.einsum("pij,plj->pil", WC[pa], W[pb]) * pval[:, None, None]
     ca, cb = seg_cam[pa], seg_cam[pb]
     D = 9 * M
-    # (M, M, 9, 9) block layout: (P,) indices + (9,9) windows (HBM-friendly)
-    S4 = jnp.zeros((M, M, 9, 9), dtype=dt)
-    S4 = S4.at[ca, cb].add(-blocks)
-    off = ((pa != pb) & pval)[:, None, None]
-    S4 = S4.at[cb, ca].add(-jnp.swapaxes(blocks, 1, 2) * off)
+    # flat (M*M, 81) scatter layout (see sfm/ba.py: avoids 9x9-tile padding)
+    Sflat = jnp.zeros((M * M, 81), dtype=dt)
+    Sflat = Sflat.at[ca * M + cb].add(-blocks.reshape(-1, 81))
+    off = ((pa != pb) & pval)[:, None]
+    Sflat = Sflat.at[cb * M + ca].add(
+        -jnp.swapaxes(blocks, 1, 2).reshape(-1, 81) * off)
     diag_idx = jnp.arange(M, dtype=jnp.int32)
-    S4 = S4.at[diag_idx, diag_idx].add(Hpp)
-    S = jnp.transpose(S4, (0, 2, 1, 3)).reshape(D, D)
+    Sflat = Sflat.at[diag_idx * M + diag_idx].add(Hpp.reshape(-1, 81))
+    S = jnp.transpose(Sflat.reshape(M, M, 9, 9), (0, 2, 1, 3)).reshape(D, D)
 
     # combine the reduced camera system over the mesh (ICI)
     S = jax.lax.psum(S, axis)

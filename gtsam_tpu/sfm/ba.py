@@ -130,8 +130,11 @@ def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False,
     # Assembled on an (M, M, 9, 9) block layout so the scatter carries (P,)
     # indices with (9, 9) windows — no (P, 9, 9) index arrays (HBM-friendly);
     # pair products are chunked to bound intermediates.
+    # flat (M*M, 81) scatter layout: (P,) indices with an 81-wide window —
+    # trailing dim 81 pads to one 128-lane tile (a 9x9-windowed (M,M,9,9)
+    # layout gets tiled to (8,128) per 9x9 block: 25x HBM blowup, OOM)
     WC = jnp.einsum("kij,kjl->kil", W, C[seg_pt])   # (K, 9, 3)
-    S4 = jnp.zeros((M, M, 9, 9), dtype=dt)
+    Sflat = jnp.zeros((M * M, 81), dtype=dt)
     P_total = len(st.pair_a)
     CHUNK = 1 << 20
     for s0 in range(0, max(P_total, 1), CHUNK):
@@ -141,9 +144,10 @@ def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False,
             continue
         blocks = jnp.einsum("pij,plj->pil", WC[pa], W[pb])  # (p, 9, 9)
         ca, cb = seg_cam[pa], seg_cam[pb]
-        S4 = S4.at[ca, cb].add(-blocks)
-        off = (pa != pb)[:, None, None]
-        S4 = S4.at[cb, ca].add(-jnp.swapaxes(blocks, 1, 2) * off)
+        Sflat = Sflat.at[ca * M + cb].add(-blocks.reshape(-1, 81))
+        off = (pa != pb)[:, None]
+        Sflat = Sflat.at[cb * M + ca].add(
+            -jnp.swapaxes(blocks, 1, 2).reshape(-1, 81) * off)
     # add Hpp diagonal blocks + damping
     diag_idx = jnp.arange(M, dtype=jnp.int32)
     if diagonal_damping:
@@ -151,8 +155,9 @@ def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False,
         Hpp_d = Hpp + jax.vmap(jnp.diag)(damp)
     else:
         Hpp_d = Hpp + lam * jnp.eye(9, dtype=dt)
-    S4 = S4.at[diag_idx, diag_idx].add(Hpp_d)
-    S = jnp.transpose(S4, (0, 2, 1, 3)).reshape(9 * M, 9 * M)
+    Sflat = Sflat.at[diag_idx * M + diag_idx].add(Hpp_d.reshape(-1, 81))
+    S = jnp.transpose(Sflat.reshape(M, M, 9, 9), (0, 2, 1, 3)).reshape(
+        9 * M, 9 * M)
 
     # dense factorize + solve
     dc = _dense_spd_solve(S, gp_t.reshape(-1), mixed_precision).reshape(M, 9)
