@@ -59,8 +59,6 @@ class ConcurrentFilter:
         old = [k for k, ts in self.timestamps.items()
                if ts < tmax - self.params.filter_lag]
         if not old:
-            # still exchange smoother summary
-            self._smoother_summary = smoother.summarize()
             return
         old_set = set(old)
         move, keep = [], []
@@ -81,7 +79,9 @@ class ConcurrentFilter:
         self._drop_values(old)
         for k in old:
             del self.timestamps[k]
-        self._smoother_summary = smoother.summarize()
+        # summary must live on the separator = keys in BOTH estimators
+        sep = [k for k in boundary if k in self.values]
+        self._smoother_summary = smoother.summarize(sep)
 
     def _drop_values(self, keys):
         drop = set(int(k) for k in keys)
@@ -124,11 +124,14 @@ class ConcurrentSmoother:
         self.values = res.values
         return res
 
-    def summarize(self) -> Optional[factors_mod.FactorBatch]:
-        """Summarized marginal factor on the most recent (separator) keys."""
-        if self.values is None or not self.graph.batches or not self._latest_keys:
+    def summarize(self, separator=None) -> Optional[factors_mod.FactorBatch]:
+        """Summarized marginal factor on the separator keys (shared with the
+        filter)."""
+        if self.values is None or not self.graph.batches:
             return None
-        sep = [k for k in self._latest_keys if k in self.values][-2:]
+        if separator is None:
+            separator = [k for k in self._latest_keys if k in self.values][-2:]
+        sep = [k for k in separator if k in self.values]
         if not sep:
             return None
         others = [int(k) for t, ks in self.values.keys.items() for k in ks
