@@ -29,12 +29,20 @@ from . import bal as bal_mod
 
 @dataclasses.dataclass(frozen=True)
 class SchurStructure:
-    """Host-side static structure for one BA problem."""
+    """Host-side static structure for one BA problem.
+
+    Directed pair list (both (a,b) and (b,a) for a != b), PRE-SORTED by
+    destination camera-block cell, so the reduced-camera assembly is a
+    duplicate-free segment-sum + one unique-cell scatter (TPU scatters with
+    duplicate indices serialize; segment reductions don't).
+    """
 
     obs_cam: np.ndarray   # (K,) sorted by point
     obs_pt: np.ndarray    # (K,) sorted (segment ids)
-    pair_a: np.ndarray    # (P,) obs-index pairs within a track, a <= b
+    pair_a: np.ndarray    # (P,) directed pairs, sorted by dest cell
     pair_b: np.ndarray    # (P,)
+    pair_seg: np.ndarray  # (P,) segment id = index into cell_unique
+    cell_unique: np.ndarray  # (U,) flat cell index ca*M+cb
     num_cameras: int
     num_points: int
 
@@ -42,7 +50,7 @@ class SchurStructure:
     def build(obs_cam, obs_pt, num_cameras, num_points) -> "SchurStructure":
         order = np.argsort(obs_pt, kind="stable")
         oc, op = obs_cam[order], obs_pt[order]
-        # pairs (a<=b) within each track
+        # directed pairs within each track
         pa, pb = [], []
         start = 0
         K = len(op)
@@ -50,13 +58,20 @@ class SchurStructure:
             end = start
             while end < K and op[end] == op[start]:
                 end += 1
-            for a in range(start, end):
-                for b in range(a, end):
-                    pa.append(a)
-                    pb.append(b)
+            idxs = np.arange(start, end)
+            A, B = np.meshgrid(idxs, idxs, indexing="ij")
+            pa.append(A.reshape(-1))
+            pb.append(B.reshape(-1))
             start = end
-        return SchurStructure(oc, op, np.asarray(pa, dtype=np.int32),
-                              np.asarray(pb, dtype=np.int32),
+        pa = np.concatenate(pa).astype(np.int32) if pa else np.zeros(0, np.int32)
+        pb = np.concatenate(pb).astype(np.int32) if pb else np.zeros(0, np.int32)
+        cells = oc[pa].astype(np.int64) * num_cameras + oc[pb]
+        cell_order = np.argsort(cells, kind="stable")
+        pa, pb, cells = pa[cell_order], pb[cell_order], cells[cell_order]
+        cell_unique, pair_seg = np.unique(cells, return_inverse=True)
+        return SchurStructure(oc, op, pa, pb,
+                              pair_seg.astype(np.int32),
+                              cell_unique.astype(np.int64),
                               num_cameras, num_points), order
 
 
@@ -130,24 +145,23 @@ def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False,
     # Assembled on an (M, M, 9, 9) block layout so the scatter carries (P,)
     # indices with (9, 9) windows — no (P, 9, 9) index arrays (HBM-friendly);
     # pair products are chunked to bound intermediates.
-    # flat (M*M, 81) scatter layout: (P,) indices with an 81-wide window —
-    # trailing dim 81 pads to one 128-lane tile (a 9x9-windowed (M,M,9,9)
-    # layout gets tiled to (8,128) per 9x9 block: 25x HBM blowup, OOM)
+    # flat (M*M, 81) layout: directed pair products segment-summed per unique
+    # destination cell (pre-sorted host-side), then ONE duplicate-free scatter.
     WC = jnp.einsum("kij,kjl->kil", W, C[seg_pt])   # (K, 9, 3)
     Sflat = jnp.zeros((M * M, 81), dtype=dt)
     P_total = len(st.pair_a)
-    CHUNK = 1 << 20
-    for s0 in range(0, max(P_total, 1), CHUNK):
-        pa = jnp.asarray(st.pair_a[s0:s0 + CHUNK])
-        pb = jnp.asarray(st.pair_b[s0:s0 + CHUNK])
-        if len(pa) == 0:
-            continue
-        blocks = jnp.einsum("pij,plj->pil", WC[pa], W[pb])  # (p, 9, 9)
-        ca, cb = seg_cam[pa], seg_cam[pb]
-        Sflat = Sflat.at[ca * M + cb].add(-blocks.reshape(-1, 81))
-        off = (pa != pb)[:, None]
-        Sflat = Sflat.at[cb * M + ca].add(
-            -jnp.swapaxes(blocks, 1, 2).reshape(-1, 81) * off)
+    U = len(st.cell_unique)
+    if P_total:
+        cellsum = jnp.zeros((U, 81), dtype=dt)
+        CHUNK = 1 << 21
+        for s0 in range(0, P_total, CHUNK):
+            pa = jnp.asarray(st.pair_a[s0:s0 + CHUNK])
+            pb = jnp.asarray(st.pair_b[s0:s0 + CHUNK])
+            seg = jnp.asarray(st.pair_seg[s0:s0 + CHUNK])
+            blocks = jnp.einsum("pij,plj->pil", WC[pa], W[pb])  # (p, 9, 9)
+            cellsum = cellsum + jax.ops.segment_sum(
+                blocks.reshape(-1, 81), seg, U)
+        Sflat = Sflat.at[jnp.asarray(st.cell_unique)].set(-cellsum)
     # add Hpp diagonal blocks + damping
     diag_idx = jnp.arange(M, dtype=jnp.int32)
     if diagonal_damping:
