@@ -25,6 +25,24 @@ def format_key(key: int) -> str:
     return f"{c}{symbol_index(key)}" if c else str(key)
 
 
+def labeled_symbol(c: str, label: str, j: int) -> int:
+    """Multi-robot keys: 8-bit type char + 8-bit label + 48-bit index
+    (gtsam/inference/LabeledSymbol.h)."""
+    return (ord(c) << 56) | (ord(label) << 48) | j
+
+
+def labeled_symbol_chr(key: int) -> str:
+    return chr((key >> 56) & 0xFF)
+
+
+def labeled_symbol_label(key: int) -> str:
+    return chr((key >> 48) & 0xFF)
+
+
+def labeled_symbol_index(key: int) -> int:
+    return key & ((1 << 48) - 1)
+
+
 class _Shorthand:
     """X = Shorthand('x'); X(3) == symbol('x', 3) — python/gtsam/symbol_shorthand.py analog."""
 
