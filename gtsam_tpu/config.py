@@ -16,6 +16,11 @@ import jax
 if not os.environ.get("GTSAM_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls default to bf16 multiplies; solver algebra needs true f32
+# (without this, large BA Schur systems lose enough precision that LM steps
+# are rejected outright on TPU while identical f32 code converges on CPU).
+jax.config.update("jax_default_matmul_precision", "highest")
+
 # Persistent compilation cache: TPU compiles (esp. emulated f64) are expensive;
 # cache them across processes.
 _cache_dir = os.environ.get(
