@@ -19,40 +19,69 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _seg_sum_kernel(offsets_ref, prods_ref, out_ref):
-    """One grid step = one output cell: sum rows [start, end) of prods."""
-    cell = pl.program_id(0)
-    start = offsets_ref[cell]
-    end = offsets_ref[cell + 1]
+_CELLS_PER_STEP = 8   # TPU sublane granularity for the output block
+_RUN_CHUNK = 8        # rows DMA'd per inner step
 
-    def body(i, acc):
-        return acc + prods_ref[pl.ds(start + i, 1), :]
 
-    n = end - start
-    acc0 = jnp.zeros((1, prods_ref.shape[1]), dtype=prods_ref.dtype)
-    out_ref[...] = jax.lax.fori_loop(0, n, body, acc0)
+def _seg_sum_kernel(offsets_ref, prods_ref, out_ref, scratch, sem):
+    """One grid step = 8 output cells; each DMA-gathers its run in chunks."""
+    base = pl.program_id(0) * _CELLS_PER_STEP
+    W = out_ref.shape[1]
+
+    for c_local in range(_CELLS_PER_STEP):
+        cell = base + c_local
+        start = offsets_ref[cell]
+        end = offsets_ref[cell + 1]
+        n = end - start
+
+        def body(i, acc):
+            dma = pltpu.make_async_copy(
+                prods_ref.at[pl.ds(start + i * _RUN_CHUNK, _RUN_CHUNK), :],
+                scratch, sem)
+            dma.start()
+            dma.wait()
+            row = jax.lax.broadcasted_iota(jnp.int32, (_RUN_CHUNK, 1), 0)
+            mask = (i * _RUN_CHUNK + row) < n
+            return acc + jnp.sum(jnp.where(mask, scratch[...], 0.0), axis=0,
+                                 keepdims=True)
+
+        acc0 = jnp.zeros((1, W), dtype=out_ref.dtype)
+        nchunks = (n + _RUN_CHUNK - 1) // _RUN_CHUNK
+        out_ref[pl.ds(c_local, 1), :] = jax.lax.fori_loop(0, nchunks, body, acc0)
 
 
 def segmented_block_sum(prods, offsets, num_cells: int, interpret: bool = False):
     """prods: (P, W) rows sorted by cell; offsets: (U+1,) int32 run boundaries.
 
-    Returns (U, W) per-cell sums.  W should be a multiple-of-128-friendly
-    width (81 pads to 128 internally).
+    Returns (U, W) per-cell sums.  prods is zero-padded by one DMA chunk so
+    fixed-size chunked copies may overrun the final run.
     """
     P, W = prods.shape
+    prods_p = jnp.concatenate(
+        [prods, jnp.zeros((_RUN_CHUNK, W), dtype=prods.dtype)])
+    U_pad = -(-num_cells // _CELLS_PER_STEP) * _CELLS_PER_STEP
+    pad = jnp.full((U_pad + 1 - offsets.shape[0],), offsets[-1],
+                   dtype=offsets.dtype)
+    offsets_p = jnp.concatenate([offsets, pad])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(num_cells,),
+        grid=(U_pad // _CELLS_PER_STEP,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, W), lambda c, offsets: (c, 0),
+        out_specs=pl.BlockSpec((_CELLS_PER_STEP, W),
+                               lambda c, offsets: (c, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_RUN_CHUNK, W), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _seg_sum_kernel,
-        out_shape=jax.ShapeDtypeStruct((num_cells, W), prods.dtype),
+        out_shape=jax.ShapeDtypeStruct((U_pad, W), prods.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(offsets, prods)
+    )(offsets_p, prods_p)
+    return out[:num_cells]
 
 
 def segment_offsets_from_ids(seg_ids: np.ndarray, num_cells: int) -> np.ndarray:

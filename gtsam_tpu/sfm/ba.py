@@ -153,7 +153,9 @@ def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False,
     U = len(st.cell_unique)
     if P_total:
         cellsum = jnp.zeros((U, 81), dtype=dt)
-        CHUNK = 1 << 21
+        # chunk bound: the (chunk, 9, 9) product tensor tiles to (8,128) per
+        # 9x9 block (~25x HBM padding); 128k rows keeps it ~1GB
+        CHUNK = 1 << 17
         for s0 in range(0, P_total, CHUNK):
             pa = jnp.asarray(st.pair_a[s0:s0 + CHUNK])
             pb = jnp.asarray(st.pair_b[s0:s0 + CHUNK])
