@@ -35,4 +35,10 @@ from .optimize.optimizers import (  # noqa: E402,F401
     levenberg_marquardt,
 )
 
+from .nonlinear.isam2 import ISAM2, ISAM2Params  # noqa: E402,F401
+from .nonlinear.marginals import Marginals  # noqa: E402,F401
+from .nonlinear.fixed_lag import BatchFixedLagSmoother, marginalize  # noqa: E402,F401
+from .optimize.gnc import GncParams, gnc_optimize  # noqa: E402,F401
+from .linear.pcg import PCGSolver, SubgraphPCGSolver  # noqa: E402,F401
+
 __version__ = "0.1.0"

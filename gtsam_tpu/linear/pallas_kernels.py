@@ -28,26 +28,29 @@ def _seg_sum_kernel(offsets_ref, prods_ref, out_ref, scratch, sem):
     base = pl.program_id(0) * _CELLS_PER_STEP
     W = out_ref.shape[1]
 
+    chunk = jnp.int32(_RUN_CHUNK)
     for c_local in range(_CELLS_PER_STEP):
-        cell = base + c_local
+        cell = base + jnp.int32(c_local)
         start = offsets_ref[cell]
         end = offsets_ref[cell + 1]
         n = end - start
 
         def body(i, acc):
+            i = i.astype(jnp.int32)
             dma = pltpu.make_async_copy(
-                prods_ref.at[pl.ds(start + i * _RUN_CHUNK, _RUN_CHUNK), :],
+                prods_ref.at[pl.ds(start + i * chunk, _RUN_CHUNK), :],
                 scratch, sem)
             dma.start()
             dma.wait()
             row = jax.lax.broadcasted_iota(jnp.int32, (_RUN_CHUNK, 1), 0)
-            mask = (i * _RUN_CHUNK + row) < n
+            mask = (i * chunk + row) < n
             return acc + jnp.sum(jnp.where(mask, scratch[...], 0.0), axis=0,
                                  keepdims=True)
 
         acc0 = jnp.zeros((1, W), dtype=out_ref.dtype)
-        nchunks = (n + _RUN_CHUNK - 1) // _RUN_CHUNK
-        out_ref[pl.ds(c_local, 1), :] = jax.lax.fori_loop(0, nchunks, body, acc0)
+        nchunks = jax.lax.div(n + chunk - jnp.int32(1), chunk)
+        out_ref[pl.ds(c_local, 1), :] = jax.lax.fori_loop(
+            jnp.int32(0), nchunks, body, acc0)
 
 
 def segmented_block_sum(prods, offsets, num_cells: int, interpret: bool = False):
