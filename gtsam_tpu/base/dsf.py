@@ -4,8 +4,6 @@ Reference: gtsam/base/DSFMap.h, DSFVector.{h,cpp} — used by SfM track formatio
 and subgraph construction.  Host-side (graph preprocessing).
 """
 
-import numpy as np
-
 
 class DSF:
     def __init__(self, n: int = 0):

@@ -4,8 +4,6 @@ Reference: gtsam/basis — Chebyshev2.h:46 (Points, CalculateWeights:97,
 DifferentiationMatrix:111), Fourier.h, FitBasis.h, BasisFactors.h.
 """
 
-from typing import Callable
-
 import jax.numpy as jnp
 import numpy as np
 

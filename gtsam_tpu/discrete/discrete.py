@@ -13,7 +13,6 @@ broadcasting multiplies and axis reductions — XLA-fusable, batched, static.
 """
 
 import dataclasses
-import itertools
 import re
 from typing import Dict, List, Optional, Sequence, Tuple
 

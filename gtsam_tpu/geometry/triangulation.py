@@ -11,7 +11,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import se3, so3
+from . import se3
 from .se3 import SE3
 
 

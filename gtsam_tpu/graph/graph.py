@@ -8,14 +8,13 @@ Gauss-Newton assembly (scatter-add of per-batch blocks into H, g).
 """
 
 import dataclasses
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import factors as factors_mod
-from . import manifolds
 from .values import Layout, Values
 
 

@@ -8,7 +8,7 @@ pytree per type and vmaps these ops.
 """
 
 import dataclasses
-from typing import Any, Callable
+from typing import Callable
 
 import jax.numpy as jnp
 

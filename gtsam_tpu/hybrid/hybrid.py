@@ -16,13 +16,12 @@ normalization-constant bookkeeping of HybridGaussianFactorGraph.cpp:357.
 import dataclasses
 import itertools
 import math
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..discrete.discrete import DiscreteFactor, DiscreteFactorGraph
+from ..discrete.discrete import DiscreteFactor
 from ..graph import factors as factors_mod
 from ..graph.graph import FactorGraph
 from ..graph.values import Values

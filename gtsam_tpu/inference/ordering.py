@@ -7,7 +7,7 @@ class ordering from SuperLU's MMD_AT_PLUS_A (scipy) on the variable adjacency
 pattern, which targets exactly the symmetric fill-minimization this needs.
 """
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 import scipy.sparse as sp

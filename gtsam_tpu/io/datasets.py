@@ -9,8 +9,6 @@ Output is framework-native: numpy measurement stacks ready for factor batches.
 """
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from ..base import noise as noise_mod

@@ -7,9 +7,6 @@ scatter-adds (exactly the RegularImplicitSchurFactor::multiplyHessianAdd idea,
 slam/RegularImplicitSchurFactor.h:272, generalized to any graph).
 """
 
-import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

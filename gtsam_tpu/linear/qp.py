@@ -7,8 +7,6 @@ QPS test problems are tiny), with LP as the degenerate QP case.
 """
 
 import dataclasses
-from typing import Optional
-
 import numpy as np
 
 

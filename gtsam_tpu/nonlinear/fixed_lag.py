@@ -11,7 +11,7 @@ linearization points (the marginalizeLeaves -> dense prior pattern, ISAM2.h:199)
 """
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

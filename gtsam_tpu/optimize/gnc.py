@@ -6,7 +6,6 @@ inner optimizer; per-factor inlier weights reweight the noise models.
 """
 
 import dataclasses
-import math
 from typing import List, Optional, Sequence
 
 import jax

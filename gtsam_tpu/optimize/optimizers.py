@@ -15,8 +15,6 @@ with the sparse supernodal path (linear/) used for large ones.
 
 import dataclasses
 import math
-from typing import Callable, Optional
-
 import jax
 import jax.numpy as jnp
 

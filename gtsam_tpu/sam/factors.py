@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..base import noise as noise_mod
-from ..geometry import se2, se3
+from ..geometry import se2
 from ..graph import factors as factors_mod
 
 

@@ -13,8 +13,6 @@ TPU design: one batch = all tracks, padded to M cameras/track with masks;
 triangulation, Jacobians (autodiff), and the Q projection are vmapped per track.
 """
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
