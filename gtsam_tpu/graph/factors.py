@@ -36,6 +36,8 @@ class FactorBatch:
     # optional custom whitened linearization (smart factors etc.):
     # (xs_one, meas_one) -> (tuple of (rdim, d_i) jacobians, (rdim,) b)
     linearize_fn: Callable = None
+    # +1.0 normally; -1.0 subtracts this batch's information (AntiFactor.h)
+    sign: float = 1.0
 
     def __post_init__(self):
         self.keys = np.atleast_2d(np.asarray(self.keys, dtype=np.int64))

@@ -75,7 +75,7 @@ class BoundGraph:
                 for s, t in enumerate(b.var_types)
             )
             r = factors_mod.residuals(b, xs)
-            total = total + b.noise.error(r)
+            total = total + b.sign * b.noise.error(r)
         return total
 
     def linearize(self, arrays):
@@ -104,11 +104,11 @@ class BoundGraph:
         for (wJ, bvec), bt, st in zip(lin, self.graph.batches, self.structures):
             dims = bt.dims()
             for i in range(bt.arity):
-                gi = jnp.einsum("nrd,nr->nd", wJ[i], bvec)
+                gi = bt.sign * jnp.einsum("nrd,nr->nd", wJ[i], bvec)
                 gidx = st.col_offsets[i][:, None] + np.arange(dims[i])[None, :]
                 g = g.at[gidx].add(gi)
                 for j in range(i, bt.arity):
-                    Hij = jnp.einsum("nri,nrj->nij", wJ[i], wJ[j])
+                    Hij = bt.sign * jnp.einsum("nri,nrj->nij", wJ[i], wJ[j])
                     ridx = st.col_offsets[i][:, None, None] + np.arange(dims[i])[None, :, None]
                     cidx = st.col_offsets[j][:, None, None] + np.arange(dims[j])[None, None, :]
                     H = H.at[ridx, cidx].add(Hij)

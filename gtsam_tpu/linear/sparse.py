@@ -202,11 +202,11 @@ class SparseCholeskySolver:
             dims = bt.dims()
             # gradient
             for s in range(bt.arity):
-                gi = jnp.einsum("nrd,nr->nd", wJ[s], bvec)
+                gi = bt.sign * jnp.einsum("nrd,nr->nd", wJ[s], bvec)
                 gi = jnp.pad(gi, ((0, 0), (0, d - dims[s])))
                 g = g.at[sym.inv_perm[ids[:, s]]].add(gi)
             for (s1, s2, bids, flip) in plan:
-                Hij = jnp.einsum("nri,nrj->nij", wJ[s1], wJ[s2])
+                Hij = bt.sign * jnp.einsum("nri,nrj->nij", wJ[s1], wJ[s2])
                 Hij = jnp.pad(Hij, ((0, 0), (0, d - dims[s1]), (0, d - dims[s2])))
                 Hij = jnp.where(jnp.asarray(flip)[:, None, None],
                                 jnp.swapaxes(Hij, 1, 2), Hij)

@@ -136,3 +136,11 @@ def nonlinear_equality_factors(tname: str, keys, targets,
         f"NonlinearEquality{tname}", (tname,), np.asarray(keys).reshape(-1, 1),
         m.dim, fn, targets,
         noise_mod.isotropic(m.dim, 1.0 / np.sqrt(mu)))
+
+
+def anti_factor(batch: factors_mod.FactorBatch) -> factors_mod.FactorBatch:
+    """AntiFactor (gtsam/slam/AntiFactor.h): subtracts a factor's information,
+    exactly cancelling its effect in dense/sparse GN assembly."""
+    import dataclasses as _dc
+    return _dc.replace(batch, sign=-batch.sign,
+                       name=f"Anti{batch.name}")
