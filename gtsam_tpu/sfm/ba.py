@@ -236,12 +236,15 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
                      jnp.asarray(prob.cam_calib, dtype=dt))
     pts = jnp.asarray(prob.points, dtype=dt)
 
+    import time as _time
     error = float(error_fn(cams, pts))
     history = [error]
+    iter_times = []
     lam = params.lambda_initial
     it = 0
     converged = False
     for it in range(1, params.max_iterations + 1):
+        _t0 = _time.time()
         A_cam, A_pt, b = linearize_fn(cams, pts)
         prev = error
         accepted = False
@@ -257,9 +260,10 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
             lam *= params.lambda_factor
             if lam > params.lambda_upper_bound:
                 break
+        iter_times.append(_time.time() - _t0)
         if verbose:
-            print(f"BA iter {it}: {prev:.6g} -> {error:.6g} lambda={lam:.3g}",
-                  flush=True)
+            print(f"BA iter {it}: {prev:.6g} -> {error:.6g} lambda={lam:.3g} "
+                  f"({iter_times[-1]:.2f}s)", flush=True)
         history.append(error)
         if not accepted:
             break
@@ -267,4 +271,5 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
             converged = True
             break
     return dict(cams=cams, points=pts), dict(
-        error=error, iterations=it, converged=converged, history=history)
+        error=error, iterations=it, converged=converged, history=history,
+        iter_times=iter_times)
