@@ -90,3 +90,50 @@ class TestLabeledSymbol:
         assert labeled_symbol_chr(k) == "x"
         assert labeled_symbol_label(k) == "B"
         assert labeled_symbol_index(k) == 123
+
+
+class TestPlanesLines:
+    def test_plane_roundtrip_and_estimation(self):
+        from gtsam_tpu.geometry import planes_lines as pl, so3 as _so3
+        from gtsam_tpu.geometry.se3 import SE3
+        import gtsam_tpu as gt
+        p = pl.OrientedPlane3(jnp.asarray([0.0, 0.0, 1.0]), jnp.asarray(2.0))
+        xi = jnp.asarray([0.1, -0.2, 0.3])
+        np.testing.assert_allclose(
+            np.asarray(pl.plane_local(p, pl.plane_retract(p, xi))),
+            np.asarray(xi), atol=1e-12)
+        true_plane = pl.OrientedPlane3(jnp.asarray([0.0, 0.0, 1.0]),
+                                       jnp.asarray(-1.5))
+        poses, mn, md = [], [], []
+        for i in range(5):
+            T = SE3(jnp.asarray(np.asarray(_so3.expmap(
+                jnp.asarray(rng.normal(scale=0.3, size=3))))),
+                jnp.asarray(rng.normal(size=3)))
+            loc = pl.plane_transform(true_plane, T)
+            poses.append((i, T))
+            mn.append(np.asarray(loc.normal))
+            md.append(float(loc.d))
+        g = gt.FactorGraph()
+        for i, T in poses:
+            g.add(gt.prior_factors("SE3", [i], SE3(T.R[None], T.t[None]),
+                                   gt.noise.sigmas([[1e-5] * 6])))
+        g.add(pl.oriented_plane3_factors(
+            [i for i, _ in poses], [gt.symbol("p", 0)] * 5,
+            (jnp.asarray(np.stack(mn)), jnp.asarray(md)),
+            gt.noise.isotropic(3, 0.01)))
+        entries = [(i, "SE3", T) for i, T in poses]
+        entries.append((gt.symbol("p", 0), "OrientedPlane3",
+                        pl.OrientedPlane3(jnp.asarray([0.1, 0.1, 0.99]),
+                                          jnp.asarray(-1.0))))
+        res = gt.levenberg_marquardt(g, gt.Values.from_entries(entries))
+        est = res.values.at(gt.symbol("p", 0))
+        np.testing.assert_allclose(float(est.d), -1.5, atol=1e-6)
+
+    def test_line_roundtrip(self):
+        from gtsam_tpu.geometry import planes_lines as pl, so3 as _so3
+        l = pl.Line3(jnp.asarray(np.asarray(_so3.expmap(jnp.asarray([0.2, 0.1, -0.3])))),
+                     jnp.asarray(0.5), jnp.asarray(-0.2))
+        xi = jnp.asarray([0.05, -0.1, 0.2, 0.3])
+        l2 = pl.line_retract(l, xi)
+        np.testing.assert_allclose(np.asarray(pl.line_local(l, l2)),
+                                   np.asarray(xi), atol=1e-12)
