@@ -37,6 +37,9 @@ class ISAM2Params:
     enable_relinearization: bool = True
     solver: str = "auto"      # "dense" | "sparse" | "auto"
     sparse_threshold: int = 200   # switch to sparse above this many variables
+    # compute error_before/error_after in results (enableDetailedResults analog;
+    # two extra device evaluations per update when on)
+    evaluate_nonlinear_error: bool = True
 
 
 @dataclasses.dataclass
@@ -80,10 +83,17 @@ class ISAM2:
             relin_count = self._relinearize()
 
         self._ensure_solver()
-        err_before = float(self._bound.error(self.lin_point.arrays))
+        if self.params.evaluate_nonlinear_error:
+            err_before = float(self._error_impl(self.lin_point.arrays))
+        else:
+            err_before = float("nan")
         self.delta = self._solve()
-        est = self.calculate_estimate()
-        err_after = float(self.graph.bind(est).error(est.arrays))
+        if self.params.evaluate_nonlinear_error:
+            est = self.calculate_estimate()
+            # same graph + same key layout: the cached bound structure applies
+            err_after = float(self._error_impl(est.arrays))
+        else:
+            err_after = float("nan")
         return ISAM2Result(err_before, err_after, relin_count,
                            self.graph.num_factors)
 
@@ -152,6 +162,8 @@ class ISAM2:
                 return jax.scipy.linalg.cho_solve((L, True), g)
 
             self._solve_impl = jax.jit(dense_solve)
+        bound = self._bound
+        self._error_impl = jax.jit(lambda arrays: bound.error(arrays))
         self._structure_dirty = False
 
     def _solve(self):
