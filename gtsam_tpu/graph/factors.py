@@ -97,7 +97,13 @@ def linearize(batch: FactorBatch, xs):
 # -- concrete factor constructors -----------------------------------------
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def _between_residual(tname):
+    # memoized: all Between<T> batches share ONE residual function object, so
+    # jitted code specialized on it is reused across batches (incremental path)
     from ..geometry import se2, se3, so3  # local import to avoid cycles
 
     if tname == "SE3":
@@ -116,6 +122,7 @@ def _between_residual(tname):
     return fn
 
 
+@functools.lru_cache(maxsize=None)
 def _prior_residual(tname):
     mt = manifolds.get(tname)
 
