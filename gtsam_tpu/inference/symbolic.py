@@ -46,6 +46,10 @@ def analyze(adj: sp.csr_matrix, perm: np.ndarray) -> SymbolicFactorization:
     inv_perm = np.empty(n, dtype=np.int64)
     inv_perm[perm] = np.arange(n)
 
+    native = _analyze_native(adj, perm, inv_perm)
+    if native is not None:
+        return native
+
     # permuted adjacency lists (lower triangle: rows > col)
     A = (adj + adj.T).tocoo()
     nbr: List[set] = [set() for _ in range(n)]
@@ -129,3 +133,66 @@ def analyze(adj: sp.csr_matrix, perm: np.ndarray) -> SymbolicFactorization:
         triples_by_level=triples_by_level,
         diag_block_by_col=diag_block_by_col,
         nnz_blocks=len(block_row))
+
+
+def _analyze_native(adj: sp.csr_matrix, perm: np.ndarray,
+                    inv_perm: np.ndarray) -> "SymbolicFactorization":
+    """C fast path (gtsam_tpu/native): identical output to the Python path."""
+    try:
+        from ..native import emit_triples_native, symbolic_analyze_native
+    except Exception:
+        return None
+    n = adj.shape[0]
+    A = (adj + adj.T).tocoo()
+    pi = inv_perm[A.row]
+    pj = inv_perm[A.col]
+    lower = pi > pj
+    rows_l, cols_l = pi[lower].astype(np.int32), pj[lower].astype(np.int32)
+    # CSR by column, sorted rows, deduplicated
+    order = np.lexsort((rows_l, cols_l))
+    rows_l, cols_l = rows_l[order], cols_l[order]
+    if len(rows_l):
+        keep = np.concatenate([[True], (np.diff(cols_l.astype(np.int64) * n
+                                                + rows_l) != 0)])
+        rows_l, cols_l = rows_l[keep], cols_l[keep]
+    counts = np.bincount(cols_l, minlength=n)
+    indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    out = symbolic_analyze_native(n, indptr, rows_l)
+    if out is None:
+        return None
+    parent, level, struct_indptr, struct_rows = out
+    m = np.diff(struct_indptr)
+    base = np.concatenate([[0], np.cumsum(1 + m)]).astype(np.int64)
+    dblock = base[:-1].astype(np.int32)
+    sub_base = (base[:-1] + 1).astype(np.int64)
+    nnz = int(base[-1])
+    block_row = np.empty(nnz, dtype=np.int32)
+    block_col = np.empty(nnz, dtype=np.int32)
+    cols = np.arange(n, dtype=np.int32)
+    block_row[dblock] = cols
+    block_col[dblock] = cols
+    sub_mask = np.ones(nnz, dtype=bool)
+    sub_mask[dblock] = False
+    block_row[sub_mask] = struct_rows
+    block_col[sub_mask] = np.repeat(cols, m)
+    tt, tik, tjk, tlev = emit_triples_native(
+        n, struct_indptr, struct_rows, sub_base, dblock,
+        level.astype(np.int32))
+    nlev = int(level.max()) + 1 if n else 0
+    levels = [np.where(level == l)[0] for l in range(nlev)]
+    torder = np.argsort(tlev, kind="stable")
+    tt, tik, tjk, tlev = tt[torder], tik[torder], tjk[torder], tlev[torder]
+    bounds = np.searchsorted(tlev, np.arange(nlev + 1))
+    triples_by_level = [
+        (tt[bounds[l]:bounds[l + 1]], tik[bounds[l]:bounds[l + 1]],
+         tjk[bounds[l]:bounds[l + 1]]) for l in range(nlev)]
+    block_of = {}
+    for bid in range(nnz):
+        block_of[(int(block_row[bid]), int(block_col[bid]))] = bid
+    return SymbolicFactorization(
+        n=n, perm=perm, inv_perm=inv_perm,
+        parent=parent.astype(np.int64),
+        block_row=block_row, block_col=block_col, block_of=block_of,
+        levels=levels, col_level=level.astype(np.int64),
+        triples_by_level=triples_by_level,
+        diag_block_by_col=dblock, nnz_blocks=nnz)

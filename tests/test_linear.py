@@ -111,3 +111,43 @@ class TestSubgraphPCG:
         r1 = gt.levenberg_marquardt(g, vals, gt.LMParams(max_iterations=12),
                                     solver=SubgraphPCGSolver())
         np.testing.assert_allclose(r1.error, r0.error, rtol=1e-5)
+
+
+class TestNativeSymbolic:
+    def test_native_matches_python(self):
+        import os
+        from gtsam_tpu.inference import ordering as om, symbolic as sm
+        from gtsam_tpu import native as nat
+        g, vals = mixed_graph(n=40, nl=6)
+        bound = g.bind(vals)
+        vid = {}
+        for t in bound.layout.type_order:
+            for r in range(len(vals.keys[t])):
+                vid[(t, r)] = len(vid)
+        fk = [np.stack([[vid[(t, int(r))] for r in st.rows[s]]
+                        for s, t in enumerate(b.var_types)], axis=1)
+              for b, st in zip(g.batches, bound.structures)]
+        adj = om.adjacency_from_factors(fk, len(vid))
+        perm = om.nested_dissection(adj)
+        inv = np.empty(len(vid), dtype=np.int64)
+        inv[perm] = np.arange(len(vid))
+        s_nat = sm._analyze_native(adj, perm, inv)
+        if s_nat is None:
+            import pytest
+            pytest.skip("native build unavailable")
+        os.environ["GTSAM_TPU_NO_NATIVE"] = "1"
+        nat._lib = None
+        try:
+            s_py = sm.analyze(adj, perm)
+        finally:
+            del os.environ["GTSAM_TPU_NO_NATIVE"]
+            nat._lib = None
+        assert s_nat.nnz_blocks == s_py.nnz_blocks
+        np.testing.assert_array_equal(s_nat.parent, s_py.parent)
+        np.testing.assert_array_equal(s_nat.block_row, s_py.block_row)
+        np.testing.assert_array_equal(s_nat.block_col, s_py.block_col)
+        for a, b in zip(s_nat.triples_by_level, s_py.triples_by_level):
+            ta = np.stack(a).T
+            tb = np.stack(b).T
+            np.testing.assert_array_equal(ta[np.lexsort(ta.T)],
+                                          tb[np.lexsort(tb.T)])
