@@ -11,6 +11,7 @@ Output is framework-native: numpy measurement stacks ready for factor batches.
 import os
 import numpy as np
 
+from ..base import keys as keys_mod
 from ..base import noise as noise_mod
 from ..geometry import so3
 from ..graph import factors as factors_mod
@@ -62,6 +63,7 @@ def load_2d(path: str, noise_format: str = "auto"):
     """
     poses = {}
     e_i, e_j, e_meas, e_info = [], [], [], []
+    br_i, br_l, br_b, br_r, br_sig = [], [], [], [], []
     with open(path) as f:
         for line in f:
             tok = line.split()
@@ -84,15 +86,47 @@ def load_2d(path: str, noise_format: str = "auto"):
                 e_j.append(j)
                 e_meas.append([x, y, th])
                 e_info.append(_info2d_from_vector(v, fmt))
+            elif tag in ("BR", "LANDMARK"):
+                # bearing-range sightings (dataset.cpp:463-486)
+                i, lm = int(tok[1]), int(tok[2])
+                if tag == "BR":
+                    b, r = float(tok[3]), float(tok[4])
+                    bs, rs = float(tok[5]), float(tok[6])
+                else:
+                    lmx, lmy = float(tok[3]), float(tok[4])
+                    v1, v3 = float(tok[5]), float(tok[7])
+                    b = np.arctan2(lmy, lmx)
+                    r = np.hypot(lmx, lmy)
+                    if abs(v1 - v3) < 1e-4:
+                        bs, rs = np.sqrt(v1 / 10.0), np.sqrt(v1)
+                    else:
+                        bs, rs = 1.0, 1.0
+                br_i.append(i)
+                br_l.append(keys_mod.symbol("l", lm))
+                br_b.append(b)
+                br_r.append(r)
+                br_sig.append([bs, rs])
     graph = FactorGraph()
     if e_i:
         graph.add(factors_mod.between_factors(
             "SE2", np.array(e_i), np.array(e_j),
             np.asarray(e_meas), noise_mod.information(np.asarray(e_info))))
+    if br_i:
+        from ..sam.factors import bearing_range_2d_factors
+        graph.add(bearing_range_2d_factors(
+            br_i, br_l, br_b, br_r, noise_mod.sigmas(np.asarray(br_sig))))
     # ensure every edge endpoint has an initial value (odometry-compose fallback)
     initial = _initials_2d(poses, e_i, e_j, e_meas)
-    vals = Values.from_entries(
-        [(k, "SE2", np.asarray(p)) for k, p in sorted(initial.items())])
+    entries = [(k, "SE2", np.asarray(p)) for k, p in sorted(initial.items())]
+    # landmark initials from the first sighting
+    seen = {}
+    for i, lk, b, r in zip(br_i, br_l, br_b, br_r):
+        if lk in seen or i not in initial:
+            continue
+        px, py, th = initial[i]
+        seen[lk] = np.array([px + r * np.cos(th + b), py + r * np.sin(th + b)])
+    entries += [(lk, "Point2", p) for lk, p in sorted(seen.items())]
+    vals = Values.from_entries(entries)
     return graph, vals
 
 
