@@ -78,10 +78,8 @@ def load_2d(path: str, noise_format: str = "auto"):
                 x, y, th = float(tok[3]), float(tok[4]), float(tok[5])
                 v = [float(t) for t in tok[6:12]]
                 fmt = noise_format
-                if fmt == "auto" and tag in ("EDGE2", "ODOMETRY", "EDGE"):
-                    fmt = "toro"
-                elif fmt == "auto":
-                    fmt = "g2o"
+                if fmt == "auto" and tag == "EDGE_SE2":
+                    fmt = "g2o"  # auto-detect TORO-style tags per line
                 e_i.append(i)
                 e_j.append(j)
                 e_meas.append([x, y, th])
