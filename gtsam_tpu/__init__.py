@@ -33,6 +33,7 @@ from .optimize.optimizers import (  # noqa: E402,F401
     dogleg,
     gauss_newton,
     levenberg_marquardt,
+    nonlinear_conjugate_gradient,
 )
 
 from .nonlinear.isam2 import ISAM2, ISAM2Params  # noqa: E402,F401

@@ -54,6 +54,49 @@ def chebyshev2_differentiation_matrix(N: int, a: float = -1.0,
     return D
 
 
+def chebyshev1_basis(N: int, x, a: float = -1.0, b: float = 1.0) -> np.ndarray:
+    """Chebyshev polynomial basis of the FIRST kind: rows [T_0(t)..T_{N-1}(t)]
+    with t the affine map of x onto [-1,1] (gtsam/basis/Chebyshev.h
+    Chebyshev1Basis::CalculateWeights), via the T recurrence."""
+    x = np.atleast_1d(np.asarray(x, dtype=float))
+    t = 2.0 * (x - a) / (b - a) - 1.0
+    W = np.empty((len(t), N))
+    W[:, 0] = 1.0
+    if N > 1:
+        W[:, 1] = t
+    for k in range(2, N):
+        W[:, k] = 2.0 * t * W[:, k - 1] - W[:, k - 2]
+    return W
+
+
+def chebyshev2_basis(N: int, x, a: float = -1.0, b: float = 1.0) -> np.ndarray:
+    """Chebyshev polynomials of the second kind U_0..U_{N-1}
+    (Chebyshev2Basis::CalculateWeights) — the weight-function basis, distinct
+    from the chebyshev2_points interpolation above."""
+    x = np.atleast_1d(np.asarray(x, dtype=float))
+    t = 2.0 * (x - a) / (b - a) - 1.0
+    W = np.empty((len(t), N))
+    W[:, 0] = 1.0
+    if N > 1:
+        W[:, 1] = 2.0 * t
+    for k in range(2, N):
+        W[:, k] = 2.0 * t * W[:, k - 1] - W[:, k - 2]
+    return W
+
+
+def chebyshev1_derivative_weights(N: int, x, a: float = -1.0,
+                                  b: float = 1.0) -> np.ndarray:
+    """d/dx of the first-kind basis: T_k' = k U_{k-1}, chain-ruled through the
+    affine map (Chebyshev1Basis::DerivativeWeights)."""
+    x = np.atleast_1d(np.asarray(x, dtype=float))
+    U = chebyshev2_basis(N, x, a, b)
+    D = np.zeros((len(x), N))
+    scale = 2.0 / (b - a)
+    for k in range(1, N):
+        D[:, k] = k * U[:, k - 1] * scale
+    return D
+
+
 def fourier_basis(N: int, x: np.ndarray) -> np.ndarray:
     """Fourier basis row(s): [1, cos t, sin t, cos 2t, sin 2t, ...] (Fourier.h)."""
     x = np.atleast_1d(x)
@@ -73,6 +116,10 @@ def fit_basis(xs, ys, N: int, kind: str = "chebyshev2", a=None, b=None,
         a = xs.min() if a is None else a
         b = xs.max() if b is None else b
         A = np.stack([chebyshev2_weights(N, a, b, x) for x in xs])
+    elif kind == "chebyshev1":
+        a = xs.min() if a is None else a
+        b = xs.max() if b is None else b
+        A = chebyshev1_basis(N, xs, a, b)
     else:
         A = fourier_basis(N, xs)
     coeffs, *_ = np.linalg.lstsq(A / sigma, ys / sigma, rcond=None)

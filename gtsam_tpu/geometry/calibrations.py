@@ -41,6 +41,48 @@ def calibrate_ds2(K, pixel, iterations: int = 10):
     return p
 
 
+def uncalibrate_unified(K, p):
+    """Cal3Unified (omni): K = [fx, fy, s, u0, v0, k1, k2, p1, p2, xi].
+
+    Mirror-parameter projection to the normalized unit plane
+    (gtsam/geometry/Cal3Unified.cpp spaceToNPlane: m = p / (1 + xi sqrt(|p|^2+1)))
+    followed by the Cal3DS2 radial-tangential model."""
+    xi = K[..., 9]
+    x, y = p[..., 0], p[..., 1]
+    sq = 1.0 + xi * jnp.sqrt(x * x + y * y + 1.0)
+    m = jnp.stack([x / sq, y / sq], axis=-1)
+    return uncalibrate_ds2(K[..., :9], m)
+
+
+def calibrate_unified(K, pixel, iterations: int = 10):
+    """Pixel -> normalized coords: DS2 inverse to the unit plane, then the
+    closed-form nPlaneToSpace (Cal3Unified.cpp:118-121)."""
+    xi = K[..., 9]
+    m = calibrate_ds2(K[..., :9], pixel, iterations)
+    x, y = m[..., 0], m[..., 1]
+    xy2 = x * x + y * y
+    sq_xy = (xi + jnp.sqrt(1.0 + (1.0 - xi * xi) * xy2)) / (xy2 + 1.0)
+    scale = sq_xy / (sq_xy - xi)
+    return m * scale[..., None]
+
+
+def uncalibrate_s2stereo(K, p):
+    """Cal3_S2Stereo: K = [fx, fy, s, u0, v0, b]; monocular part is Cal3_S2
+    (gtsam/geometry/Cal3_S2Stereo.h:67); the baseline b is consumed by
+    cameras.stereo_project."""
+    fx, fy, s, u0, v0 = (K[..., i] for i in range(5))
+    u = fx * p[..., 0] + s * p[..., 1] + u0
+    v = fy * p[..., 1] + v0
+    return jnp.stack([u, v], axis=-1)
+
+
+def calibrate_s2stereo(K, pixel):
+    fx, fy, s, u0, v0 = (K[..., i] for i in range(5))
+    v = (pixel[..., 1] - v0) / fy
+    u = (pixel[..., 0] - u0 - s * v) / fx
+    return jnp.stack([u, v], axis=-1)
+
+
 def uncalibrate_fisheye(K, p):
     """Cal3Fisheye (equidistant): K = [fx, fy, s, u0, v0, k1, k2, k3, k4].
 

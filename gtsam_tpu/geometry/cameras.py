@@ -111,6 +111,35 @@ def backproject(pose: SE3, calib, pixel, depth, calibrate):
     return se3.transform_from(pose, pc)
 
 
+# -- spherical ---------------------------------------------------------------
+
+
+def spherical_project(pose: SE3, point):
+    """SphericalCamera::project2 (gtsam/geometry/SphericalCamera.h:159):
+    world point -> Unit3 bearing in the camera frame; valid iff the point is
+    not at the camera centre (no cheirality constraint on a sphere)."""
+    pc = se3.transform_to(pose, point)
+    n = jnp.linalg.norm(pc, axis=-1, keepdims=True)
+    valid = n[..., 0] > CHEIRALITY_EPS
+    ns = jnp.where(valid[..., None], n, 1.0)
+    return pc / ns, valid
+
+
+def spherical_backproject(pose: SE3, bearing, depth):
+    """Unit3 bearing + range -> world point (SphericalCamera::backproject)."""
+    return se3.transform_from(pose, bearing * depth[..., None])
+
+
+def spherical_reprojection_error(pose: SE3, point, measured):
+    """2D tangent-space error B(measured)^T projected
+    (SphericalCamera::reprojectionError, SphericalCamera.cpp:90-104)."""
+    from . import unit3
+
+    projected, valid = spherical_project(pose, point)
+    err = unit3.error_vector(measured, projected)
+    return jnp.where(valid[..., None], err, 0.0), valid
+
+
 # -- stereo ----------------------------------------------------------------
 
 

@@ -44,5 +44,12 @@ def local(p, q):
     return jnp.einsum("...ji,...j->...i", B, v)
 
 
+def error_vector(p, q):
+    """Signed 2D error: q projected into p's tangent basis
+    (gtsam/geometry/Unit3.cpp errorVector: xi = B(p)^T q)."""
+    B = basis(p)
+    return jnp.einsum("...ji,...j->...i", B, q)
+
+
 def identity(dtype=jnp.float64):
     return jnp.array([0.0, 0.0, 1.0], dtype=dtype)

@@ -200,6 +200,80 @@ def levenberg_marquardt(graph: FactorGraph, initial: Values,
     return OptimizeResult(initial.replace_arrays(arrays), error, it, converged, history)
 
 
+def nonlinear_conjugate_gradient(graph: FactorGraph, initial: Values,
+                                 params: OptimizerParams = None) -> OptimizeResult:
+    """Manifold nonlinear CG with Polak-Ribiere direction updates and
+    backtracking line search (gtsam/nonlinear/
+    NonlinearConjugateGradientOptimizer.{h,cpp}: System::gradient + lineSearch).
+
+    The tangent gradient comes from autodiff through retract at zero — the
+    JAX-native replacement for the reference's gradientInPlace.
+    """
+    params = params or OptimizerParams()
+    bound = graph.bind(initial)
+    layout = initial.layout()
+
+    @jax.jit
+    def error_fn(arrays):
+        return bound.error(arrays)
+
+    @jax.jit
+    def grad_fn(arrays):
+        dim = layout.total_dim
+        zero = jnp.zeros(dim, dtype=jnp.result_type(float))
+        return jax.grad(
+            lambda dx: bound.error(retract_arrays(arrays, dx, layout)))(zero)
+
+    @jax.jit
+    def eval_at(arrays, d, t):
+        return bound.error(retract_arrays(arrays, t * d, layout))
+
+    arrays = initial.arrays
+    error = float(error_fn(arrays))
+    history = [error]
+    g = grad_fn(arrays)
+    d = -g
+    converged = False
+    it = 0
+    step0 = 1.0
+    for it in range(1, params.max_iterations + 1):
+        # backtracking Armijo line search along d
+        gd = float(jnp.dot(g, d))
+        if gd >= 0:  # not a descent direction: restart with steepest descent
+            d = -g
+            gd = float(jnp.dot(g, d))
+            if gd >= 0:
+                break
+        t = step0
+        new_error = error
+        for _ in range(30):
+            cand = float(eval_at(arrays, d, t))
+            if math.isfinite(cand) and cand <= error + 1e-4 * t * gd:
+                new_error = cand
+                break
+            t *= 0.5
+        else:
+            break
+        arrays = retract_arrays(arrays, t * d, layout)
+        step0 = min(max(t * 2.0, 1e-8), 10.0)  # warm-start next search
+        g_new = grad_fn(arrays)
+        # Polak-Ribiere+ beta, restart when negative
+        beta = float(jnp.dot(g_new, g_new - g) /
+                     jnp.maximum(jnp.dot(g, g), 1e-300))
+        beta = max(beta, 0.0)
+        d = -g_new + beta * d
+        g = g_new
+        prev, error = error, new_error
+        history.append(error)
+        if params.verbose:
+            print(f"NCG iter {it}: error {prev:.6g} -> {error:.6g} step {t:.3g}")
+        if check_convergence(prev, error, params):
+            converged = True
+            break
+    return OptimizeResult(initial.replace_arrays(arrays), error, it, converged,
+                          history)
+
+
 def dogleg(graph: FactorGraph, initial: Values,
            params: DoglegParams = None, solver=None) -> OptimizeResult:
     """Trust-region dogleg combining GN and steepest-descent steps

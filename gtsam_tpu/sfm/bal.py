@@ -88,6 +88,47 @@ def read_bal(path: str) -> BalProblem:
     return BalProblem(cam_R, cam_t, cam_calib, points, obs_cam, obs_pt, obs_uv)
 
 
+def read_bundler(path: str) -> BalProblem:
+    """Bundler v0.3 file -> BalProblem (gtsam/sfm/SfmData.cpp FromBundlerFile).
+
+    Header line ignored; per camera (f k1 k2; 3x3 R; t) with the same
+    openGL2gtsam conversion as BAL; per point (xyz; rgb; view list with
+    (cam, sift, u, v)); v is negated like the BAL path.  Colors and SIFT
+    indices are not retained (no consumer downstream yet)."""
+    with open(path) as f:
+        f.readline()  # "# Bundle file v0.3"
+        tokens = f.read().split()
+    it = iter(tokens)
+    m = int(next(it)); n = int(next(it))
+    cam_R = np.empty((m, 3, 3))
+    cam_t = np.empty((m, 3))
+    cam_calib = np.empty((m, 3))
+    for i in range(m):
+        cam_calib[i] = [float(next(it)) for _ in range(3)]
+        R = np.array([float(next(it)) for _ in range(9)]).reshape(3, 3)
+        if not R.any():
+            raise ValueError(f"zero rotation matrix for camera {i} in {path}")
+        t = np.array([float(next(it)) for _ in range(3)])
+        cam_R[i] = R.T @ _R90
+        cam_t[i] = R.T @ (-t)
+    points = np.empty((n, 3))
+    obs_cam, obs_pt, obs_uv = [], [], []
+    for j in range(n):
+        points[j] = [float(next(it)) for _ in range(3)]
+        next(it); next(it); next(it)  # rgb
+        nvis = int(next(it))
+        for _ in range(nvis):
+            ci = int(next(it)); next(it)  # sift index unused
+            u = float(next(it)); v = float(next(it))
+            obs_cam.append(ci)
+            obs_pt.append(j)
+            obs_uv.append((u, -v))
+    return BalProblem(cam_R, cam_t, cam_calib, points,
+                      np.asarray(obs_cam, dtype=np.int32),
+                      np.asarray(obs_pt, dtype=np.int32),
+                      np.asarray(obs_uv, dtype=np.float64).reshape(-1, 2))
+
+
 def write_bal(path: str, prob: BalProblem) -> None:
     """Inverse of read_bal (gtsam2openGL + v negation)."""
     lines = [f"{prob.num_cameras} {prob.num_points} {prob.num_observations}"]

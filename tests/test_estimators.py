@@ -138,6 +138,27 @@ class TestBasis:
             w = cheb.chebyshev2_weights(N, -1, 1, x)
             assert abs(w @ coeffs - f(x)) < 1e-6
 
+    def test_chebyshev1_fit_and_derivative(self):
+        # T_k values and derivative identity T_k' = k U_{k-1}
+        N = 10
+        f = lambda x: np.cos(2.5 * x)
+        df = lambda x: -2.5 * np.sin(2.5 * x)
+        xs = np.linspace(-1, 1, 50)
+        coeffs = cheb.fit_basis(xs, f(xs), N, kind="chebyshev1")
+        for x in [-0.6, 0.1, 0.8]:
+            W = cheb.chebyshev1_basis(N, x)
+            D = cheb.chebyshev1_derivative_weights(N, x)
+            assert abs(W[0] @ coeffs - f(x)) < 1e-5
+            assert abs(D[0] @ coeffs - df(x)) < 1e-3
+
+    def test_chebyshev1_known_values(self):
+        # T_3(x) = 4x^3 - 3x at x = 0.5 -> -1.0
+        W = cheb.chebyshev1_basis(4, 0.5)
+        np.testing.assert_allclose(W[0], [1.0, 0.5, -0.5, -1.0], atol=1e-12)
+        # U_3(x) = 8x^3 - 4x at x = 0.5 -> -1.0
+        U = cheb.chebyshev2_basis(4, 0.5)
+        np.testing.assert_allclose(U[0], [1.0, 1.0, 0.0, -1.0], atol=1e-12)
+
     def test_differentiation_matrix(self):
         N = 20
         pts = cheb.chebyshev2_points(N)

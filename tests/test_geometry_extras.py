@@ -66,6 +66,67 @@ class TestCalibrations:
         back = cal.calibrate_fisheye(K, pix)
         np.testing.assert_allclose(np.asarray(back), np.asarray(p), atol=1e-7)
 
+    def test_unified_roundtrip(self):
+        # reference fixture values (testCal3Unified.cpp uses xi ~ 0.93)
+        K = jnp.asarray([380.0, 380.0, 0.2, 320.0, 240.0,
+                         -0.1, 0.02, 1e-3, -5e-4, 0.9])
+        p = jnp.asarray(rng.uniform(-0.3, 0.3, size=(20, 2)))
+        pix = cal.uncalibrate_unified(K, p)
+        back = cal.calibrate_unified(K, pix, iterations=25)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(p), atol=1e-6)
+
+    def test_unified_xi_zero_matches_ds2(self):
+        K9 = jnp.asarray([450.0, 460.0, 0.1, 320.0, 240.0,
+                          -0.2, 0.05, 1e-3, -2e-3])
+        K10 = jnp.concatenate([K9, jnp.zeros(1)])
+        p = jnp.asarray(rng.uniform(-0.4, 0.4, size=(8, 2)))
+        np.testing.assert_allclose(np.asarray(cal.uncalibrate_unified(K10, p)),
+                                   np.asarray(cal.uncalibrate_ds2(K9, p)),
+                                   atol=1e-10)
+
+    def test_s2stereo_roundtrip(self):
+        K = jnp.asarray([500.0, 500.0, 0.0, 320.0, 240.0, 0.12])
+        p = jnp.asarray(rng.uniform(-0.5, 0.5, size=(10, 2)))
+        pix = cal.uncalibrate_s2stereo(K, p)
+        back = cal.calibrate_s2stereo(K, pix)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(p), atol=1e-10)
+
+
+class TestSphericalCamera:
+    def test_project_backproject(self):
+        from gtsam_tpu.geometry import cameras, se3
+        from gtsam_tpu.geometry.se3 import SE3
+
+        pose = se3.expmap(jnp.asarray(rng.normal(size=6) * 0.3))
+        pt = jnp.asarray(rng.normal(size=3) * 2.0 + jnp.asarray([0, 0, 5.0]))
+        bearing, valid = cameras.spherical_project(pose, pt)
+        assert bool(valid)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(bearing)), 1.0,
+                                   atol=1e-12)
+        depth = jnp.linalg.norm(se3.transform_to(pose, pt))
+        back = cameras.spherical_backproject(pose, bearing, depth)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(pt), atol=1e-9)
+
+    def test_reprojection_error_zero_at_truth(self):
+        from gtsam_tpu.geometry import cameras, se3
+
+        pose = se3.identity()
+        pt = jnp.asarray([1.0, -2.0, 4.0])
+        bearing, _ = cameras.spherical_project(pose, pt)
+        err, valid = cameras.spherical_reprojection_error(pose, pt, bearing)
+        assert bool(valid)
+        np.testing.assert_allclose(np.asarray(err), 0.0, atol=1e-12)
+
+    def test_behind_camera_is_valid(self):
+        # spheres see backwards — unlike pinhole there is no cheirality
+        from gtsam_tpu.geometry import cameras, se3
+
+        bearing, valid = cameras.spherical_project(se3.identity(),
+                                                   jnp.asarray([0.0, 0, -3.0]))
+        assert bool(valid)
+        np.testing.assert_allclose(np.asarray(bearing), [0, 0, -1.0],
+                                   atol=1e-12)
+
 
 class TestSampling:
     def test_diagonal_sampler_covariance(self):

@@ -160,6 +160,15 @@ class TestOptimize:
         r = gt.dogleg(g, init)
         assert r.error < 1e-18
 
+    def test_nonlinear_cg_matches_gn(self):
+        g, init = self._chain_graph()
+        ref = gt.gauss_newton(g, init)
+        r = gt.nonlinear_conjugate_gradient(
+            g, init, gt.OptimizerParams(max_iterations=500,
+                                        relative_error_tol=1e-12,
+                                        absolute_error_tol=1e-12))
+        assert r.error < ref.error + 1e-6
+
     def test_loop_closure_se2(self):
         # square loop with noisy initial; known optimum from constraints
         meas = np.array([[2.0, 0.0, np.pi / 2]] * 4)

@@ -20,6 +20,48 @@ def dubrovnik():
     return bal.read_bal(find_example_data("dubrovnik-3-7-pre.txt"))
 
 
+class TestBundlerIO:
+    def test_roundtrip_via_synthetic(self, tmp_path):
+        """Write a Bundler v0.3 file from dubrovnik arrays, read it back, and
+        check the converted poses/points/measurements agree (FromBundlerFile
+        uses the same openGL2gtsam conversion as BAL, SfmData.cpp)."""
+        prob = dubrovnik()
+        path = tmp_path / "scene.out"
+        lines = ["# Bundle file v0.3", f"{prob.num_cameras} {prob.num_points}"]
+        R90 = np.diag([1.0, -1.0, -1.0])
+        for i in range(prob.num_cameras):
+            R_gl = R90 @ prob.cam_R[i].T
+            t_gl = -(R_gl @ prob.cam_t[i])
+            lines.append(" ".join(str(x) for x in prob.cam_calib[i]))
+            for row in R_gl:
+                lines.append(" ".join(str(x) for x in row))
+            lines.append(" ".join(str(x) for x in t_gl))
+        for j in range(prob.num_points):
+            lines.append(" ".join(str(x) for x in prob.points[j]))
+            lines.append("128 128 128")
+            mask = prob.obs_pt == j
+            lines.append(str(int(mask.sum())))
+            for c, uv in zip(prob.obs_cam[mask], prob.obs_uv[mask]):
+                lines.append(f"{c} 0 {uv[0]} {-uv[1]}")
+        path.write_text("\n".join(lines) + "\n")
+
+        got = bal.read_bundler(str(path))
+        np.testing.assert_allclose(got.cam_R, prob.cam_R, atol=1e-12)
+        np.testing.assert_allclose(got.cam_t, prob.cam_t, atol=1e-12)
+        np.testing.assert_allclose(got.points, prob.points, atol=1e-12)
+        assert got.num_observations == prob.num_observations
+        # observations are regrouped by point; compare as sets per point
+        for j in range(prob.num_points):
+            ref_mask = prob.obs_pt == j
+            got_mask = got.obs_pt == j
+            ref_rows = sorted(map(tuple, np.column_stack(
+                [prob.obs_cam[ref_mask], prob.obs_uv[ref_mask]])))
+            got_rows = sorted(map(tuple, np.column_stack(
+                [got.obs_cam[got_mask], got.obs_uv[got_mask]])))
+            np.testing.assert_allclose(np.array(ref_rows), np.array(got_rows),
+                                       atol=1e-12)
+
+
 class TestBalIO:
     def test_counts(self):
         prob = dubrovnik()
