@@ -76,3 +76,13 @@ SCALAR = register(ManifoldType(
     lambda x, y: jnp.reshape(y - x, (1,)),
     lambda: jnp.zeros(()),
 ))
+
+
+def _register_navstate():
+    # NavState (gtsam/navigation/NavState.h:34) doubles as the PoseRTV
+    # dynamics state (gtsam_unstable/dynamics/PoseRTV.h).
+    from ..navigation import navstate as ns
+    register(ManifoldType("NavState", 9, ns.retract, ns.local, ns.identity))
+
+
+_register_navstate()

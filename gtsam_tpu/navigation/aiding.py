@@ -86,3 +86,20 @@ def constant_velocity_factors(keys_i, keys_j, dts, noise) -> factors_mod.FactorB
     return factors_mod.FactorBatch(
         "ConstantVelocity", ("Vec3", "Vec3"), keys, 3, fn,
         jnp.asarray(np.asarray(dts, dtype=float)), noise)
+
+
+def mag_pose_factors(keys, measured_body, scale, direction_nav, bias_body,
+                     noise) -> factors_mod.FactorBatch:
+    """MagPoseFactor<Pose3> (gtsam/navigation/MagPoseFactor.h): magnetometer
+    measurement against the rotation part of a Pose3:
+    measured = scale * nRb(pose)^T * d_nav + bias_body."""
+    d = np.asarray(direction_nav, dtype=float)
+    d = d / np.linalg.norm(d)
+
+    def fn(xs, m):
+        pred = scale * so3.unrotate(xs[0].R, jnp.asarray(d)) + jnp.asarray(bias_body)
+        return pred - m
+
+    return factors_mod.FactorBatch(
+        "MagPose3", ("SE3",), np.asarray(keys).reshape(-1, 1), 3, fn,
+        jnp.asarray(np.asarray(measured_body, dtype=float)), noise)

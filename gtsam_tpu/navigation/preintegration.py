@@ -212,3 +212,63 @@ def compute_error(state_i: NavState, state_j: NavState, bias, pim: PIM,
     """PreintegrationBase::computeError: state_j.localCoordinates(predicted)."""
     predicted = predict(state_i, bias, pim, params)
     return nav_local(state_j, predicted)
+
+
+def _manifold_step(state: NavState, a_body, w_body, dt):
+    """ManifoldPreintegration::update (gtsam/navigation/
+    ManifoldPreintegration.cpp:51): integrate ΔXij directly on the NavState
+    manifold (Forster RSS'15), gravity excluded."""
+    Rk = state.R
+    R_next = Rk @ so3.expmap(w_body * dt)
+    p_next = state.p + state.v * dt + so3.rotate(Rk, a_body) * (0.5 * dt * dt)
+    v_next = state.v + so3.rotate(Rk, a_body) * dt
+    return NavState(R_next, p_next, v_next)
+
+
+def preintegrate_manifold(accs, gyros, dts, bias_hat,
+                          params: PreintegrationParams) -> PIM:
+    """ManifoldPreintegration backend (GTSAM_TANGENT_PREINTEGRATION=OFF path).
+
+    Integrates on the NavState manifold; covariance and bias Jacobians are
+    propagated in the tangent space via autodiff of the retract/local-conjugated
+    step — so the returned PIM is interchangeable with the tangent backend's
+    (zeta = Log-coordinates of ΔXij) and plugs into the same ImuFactor batches.
+    """
+    dt_ = jnp.result_type(float)
+    accs = jnp.asarray(accs, dtype=dt_)
+    gyros = jnp.asarray(gyros, dtype=dt_)
+    dts = jnp.asarray(dts, dtype=dt_)
+    bias_hat = jnp.asarray(bias_hat, dtype=dt_)
+    aCov = params.accel_sigma ** 2 * jnp.eye(3, dtype=dt_)
+    wCov = params.gyro_sigma ** 2 * jnp.eye(3, dtype=dt_)
+    iCov = params.integration_sigma ** 2 * jnp.eye(3, dtype=dt_)
+    ident = NavState(jnp.eye(3, dtype=dt_), jnp.zeros(3, dtype=dt_),
+                     jnp.zeros(3, dtype=dt_))
+
+    def step(carry, inp):
+        state, Ha, Hw, cov, t = carry
+        a_meas, w_meas, dt = inp
+        a = a_meas - bias_hat[:3]
+        w = w_meas - bias_hat[3:]
+        new_state = _manifold_step(state, a, w, dt)
+
+        # tangent-space linearization of the manifold step, by autodiff
+        def tangent_step(xi, da, dw):
+            nxt = _manifold_step(nav_retract(state, xi), a + da, w + dw, dt)
+            return nav_local(new_state, nxt)
+
+        z3 = jnp.zeros(3, dtype=dt_)
+        A = jax.jacfwd(tangent_step, argnums=0)(jnp.zeros(9, dtype=dt_), z3, z3)
+        B = jax.jacfwd(tangent_step, argnums=1)(jnp.zeros(9, dtype=dt_), z3, z3)
+        C = jax.jacfwd(tangent_step, argnums=2)(jnp.zeros(9, dtype=dt_), z3, z3)
+        new_cov = A @ cov @ A.T + B @ (aCov / dt) @ B.T + C @ (wCov / dt) @ C.T
+        new_cov = new_cov.at[3:6, 3:6].add(iCov * dt)
+        return (new_state, A @ Ha - B, A @ Hw - C, new_cov, t + dt), None
+
+    H0 = jnp.zeros((9, 3), dtype=dt_)
+    cov0 = jnp.zeros((9, 9), dtype=dt_)
+    (state, Ha, Hw, cov, t), _ = jax.lax.scan(
+        step, (ident, H0, H0, cov0, jnp.zeros((), dtype=dt_)),
+        (accs, gyros, dts))
+    zeta = nav_local(ident, state)
+    return PIM(zeta, Ha, Hw, cov, bias_hat, t)
