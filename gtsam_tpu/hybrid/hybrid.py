@@ -124,11 +124,21 @@ class HybridFactorGraph:
         return assignments, p / p.sum()
 
     def _log_evidence(self, g: FactorGraph, res, assignment) -> float:
-        """log p(z | m) ≈ -chi2_min/2 - 0.5 log det H + log prior(m)."""
+        """Exact (for linear factors; Laplace otherwise) log p(z | m):
+        Σ log-normalizers − chi2_min/2 + D/2·log 2π − 0.5·log det H + log prior.
+        Matches HybridGaussianFactorGraph.cpp:357's constant bookkeeping."""
+        from .elimination import _noise_log_constant
         bound = g.bind(res.values)
         H, _ = bound.gn_system(res.values.arrays)
-        sign, logdet = jnp.linalg.slogdet(H)
-        lp = -res.error - 0.5 * float(logdet)
+        sign, logdet = np.linalg.slogdet(np.asarray(H))
+        logc = 0.0
+        for b in g.batches:
+            lc = _noise_log_constant(b.noise, b.rdim)
+            logc += float(lc.sum()) if lc.shape[0] > 1 \
+                else float(lc[0]) * b.num_factors
+        D = H.shape[0]
+        lp = logc - res.error + 0.5 * D * math.log(2 * math.pi) \
+            - 0.5 * float(logdet)
         for f in self.discrete:
             if all(k in assignment for k in f.keys):
                 lp += math.log(max(f.value(assignment), 1e-300))
