@@ -173,3 +173,56 @@ class BatchFixedLagSmoother:
 
     def calculate_estimate(self) -> Values:
         return self.values
+
+
+class IncrementalFixedLagSmoother:
+    """ISAM2-based fixed-lag smoother.
+
+    Reference: gtsam_unstable/nonlinear/IncrementalFixedLagSmoother.{h,cpp} —
+    iSAM2 update with out-of-lag keys marginalized into dense prior factors
+    (ISAM2::marginalizeLeaves analog).  Here marginalization is the same
+    Schur-complement → LinearContainer path as the batch smoother, applied to
+    the ISAM2-resident graph at its current linearization point.
+    """
+
+    def __init__(self, params: Optional[FixedLagParams] = None,
+                 isam_params=None):
+        from .isam2 import ISAM2, ISAM2Params
+        self.params = params or FixedLagParams()
+        self.isam = ISAM2(isam_params or ISAM2Params(relinearize_skip=1))
+        self.timestamps: Dict[int, float] = {}
+
+    def update(self, new_batches=(), new_entries=(),
+               new_timestamps: Optional[Dict[int, float]] = None):
+        res = self.isam.update(new_batches, new_entries)
+        self.timestamps.update(new_timestamps or {})
+        if self.timestamps:
+            tmax = max(self.timestamps.values())
+            old = [k for k, ts in self.timestamps.items()
+                   if ts < tmax - self.params.lag]
+            if old:
+                self._marginalize(old)
+        return res
+
+    def _marginalize(self, old_keys):
+        """Fold out-of-lag keys into a linear container on the boundary."""
+        isam = self.isam
+        # marginalize at the CURRENT estimate so the cached delta stays valid
+        est = isam.calculate_estimate()
+        isam.graph = marginalize(isam.graph, est, old_keys)
+        drop = set(int(k) for k in old_keys)
+        arrays, kept = {}, {}
+        for t, ks in est.keys.items():
+            mask = np.asarray([int(k) not in drop for k in ks])
+            if mask.any():
+                arrays[t] = jax.tree.map(lambda a: a[np.where(mask)[0]],
+                                         est.arrays[t])
+                kept[t] = ks[mask]
+        isam.lin_point = Values(arrays, kept)
+        isam.delta = None
+        isam._structure_dirty = True
+        for k in old_keys:
+            del self.timestamps[k]
+
+    def calculate_estimate(self) -> Values:
+        return self.isam.calculate_estimate()

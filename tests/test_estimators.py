@@ -180,3 +180,30 @@ class TestBasis:
         c = np.asarray(res.values.at(0))
         w = cheb.chebyshev2_weights(N, -1, 1, 0.5)
         assert abs(w @ c - f(0.5)) < 1e-6
+
+
+class TestIncrementalFixedLag:
+    def test_window_and_equivalence(self):
+        """IncrementalFixedLagSmoother keeps the lag window, marginalizes the
+        rest, and matches the batch smoother estimate on a chain
+        (gtsam_unstable/nonlinear/IncrementalFixedLagSmoother.h analog)."""
+        from gtsam_tpu.nonlinear.fixed_lag import IncrementalFixedLagSmoother
+        inc = IncrementalFixedLagSmoother(FixedLagParams(lag=2.5))
+        bat = BatchFixedLagSmoother(FixedLagParams(lag=2.5))
+        for sm in (inc, bat):
+            sm.update([gt.prior_factors("SE2", [0], np.zeros((1, 3)),
+                                        gt.noise.sigmas([[0.01, 0.01, 0.01]]))],
+                      [(0, "SE2", np.zeros(3))], {0: 0.0})
+        for i in range(1, 8):
+            b = gt.between_factors("SE2", [i - 1], [i],
+                                   np.array([[1.0, 0, 0]]),
+                                   gt.noise.sigmas([[0.05, 0.05, 0.02]]))
+            for sm in (inc, bat):
+                sm.update([b], [(i, "SE2", np.array([i * 1.0, 0, 0]))],
+                          {i: float(i)})
+        ei, eb = inc.calculate_estimate(), bat.calculate_estimate()
+        assert 0 not in ei and 3 not in ei
+        assert 7 in ei and 5 in ei
+        for k in (5, 6, 7):
+            np.testing.assert_allclose(np.asarray(ei.at(k)),
+                                       np.asarray(eb.at(k)), atol=1e-5)
