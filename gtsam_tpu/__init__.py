@@ -38,7 +38,14 @@ from .optimize.optimizers import (  # noqa: E402,F401
 
 from .nonlinear.isam2 import ISAM2, ISAM2Params  # noqa: E402,F401
 from .nonlinear.marginals import Marginals  # noqa: E402,F401
-from .nonlinear.fixed_lag import BatchFixedLagSmoother, marginalize  # noqa: E402,F401
+from .nonlinear.fixed_lag import (  # noqa: E402,F401
+    BatchFixedLagSmoother, FixedLagParams, IncrementalFixedLagSmoother,
+    marginalize,
+)
+from .graph.factors import slice_batch  # noqa: E402,F401
+from .slam import extras as slam_extras  # noqa: E402,F401
+from .navigation import ahrs  # noqa: E402,F401
+from .hybrid import elimination as hybrid_elimination  # noqa: E402,F401
 from .optimize.gnc import GncParams, gnc_optimize  # noqa: E402,F401
 from .linear.pcg import PCGSolver, SubgraphPCGSolver  # noqa: E402,F401
 

@@ -1,0 +1,241 @@
+"""Distributed pose-graph solving: partition → shard_map → separator psum.
+
+Reference hook: gtsam_unstable/partition (METIS nested dissection for
+submap/tectonic-SAM solving, FindSeparator-inl.h:240) — the reference's only
+distributed-shaped component, never wired to an actual backend.  Here it is:
+
+  1. host: BFS vertex bisection recursively splits the pose graph into
+     `ndev` interior blocks + one shared separator set (ordering.nested
+     dissection machinery),
+  2. device d (under shard_map over a 1-axis Mesh): linearizes ITS factor
+     shard and forms the local dense system over [interior_d | separator],
+  3. interior elimination: S_d = H_ss − H_si H_ii⁻¹ H_is per device,
+  4. `psum` over the mesh assembles the global separator system — the ICI
+     collective replacing the reference's shared-memory junction tree,
+  5. separator solve is replicated; interiors back-substitute locally.
+
+One step == one Gauss-Newton iteration of the full graph (exactness tested
+against the single-device dense solve).
+"""
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..graph import factors as factors_mod
+from ..graph.values import Values
+
+
+def _bisect(adj_sets, nodes):
+    """BFS split of `nodes` into (left, right, separator⊂right-boundary)."""
+    nodes = list(nodes)
+    if len(nodes) <= 1:
+        return nodes, [], []
+    start = nodes[0]
+    seen = {start}
+    frontier = [start]
+    half = len(nodes) // 2
+    nodeset = set(nodes)
+    orderv = [start]
+    while frontier and len(orderv) < len(nodes):
+        nxt = []
+        for u in frontier:
+            for v in adj_sets[u]:
+                if v in nodeset and v not in seen:
+                    seen.add(v)
+                    orderv.append(v)
+                    nxt.append(v)
+        if not nxt:  # disconnected: jump to an unvisited node
+            for u in nodes:
+                if u not in seen:
+                    seen.add(u)
+                    orderv.append(u)
+                    nxt = [u]
+                    break
+        frontier = nxt
+    left = set(orderv[:half])
+    right = [u for u in nodes if u not in left]
+    sep = [u for u in right if any(v in left for v in adj_sets[u])]
+    rest = [u for u in right if u not in set(sep)]
+    return sorted(left), rest, sep
+
+
+@dataclasses.dataclass
+class ShardedPoseGraphStructure:
+    """Host-side partition of a pose graph over ndev devices."""
+
+    interior: List[np.ndarray]    # per device: original key rows (interior)
+    separator: np.ndarray         # shared key rows
+    factor_shard: List[np.ndarray]  # per device: factor row indices it owns
+    ndev: int
+
+    @staticmethod
+    def build(keys_i: np.ndarray, keys_j: np.ndarray, num_keys: int,
+              ndev: int) -> "ShardedPoseGraphStructure":
+        adj_sets = [set() for _ in range(num_keys)]
+        for a, b in zip(keys_i, keys_j):
+            adj_sets[int(a)].add(int(b))
+            adj_sets[int(b)].add(int(a))
+
+        parts = [list(range(num_keys))]
+        separator: List[int] = []
+        while len(parts) < ndev:
+            big = max(range(len(parts)), key=lambda i: len(parts[i]))
+            nodes = parts.pop(big)
+            l, r, sep = _bisect(adj_sets, nodes)
+            separator.extend(sep)
+            parts.append(l)
+            parts.append(r)
+        sepset = set(separator)
+        interior = [np.asarray(sorted(set(p) - sepset), dtype=np.int32)
+                    for p in parts]
+
+        # factor ownership: a factor goes to the (unique) device owning one of
+        # its interior endpoints; separator-separator factors go round-robin
+        owner = np.full(num_keys, -1, dtype=np.int32)
+        for d, block in enumerate(interior):
+            owner[block] = d
+        shard: List[List[int]] = [[] for _ in range(ndev)]
+        rr = 0
+        for f, (a, b) in enumerate(zip(keys_i, keys_j)):
+            d = owner[int(a)]
+            if d < 0:
+                d = owner[int(b)]
+            if d < 0:
+                d = rr % ndev
+                rr += 1
+            shard[d].append(f)
+        return ShardedPoseGraphStructure(
+            interior, np.asarray(sorted(sepset), dtype=np.int32),
+            [np.asarray(s, dtype=np.int32) for s in shard], ndev)
+
+
+def make_sharded_pose_solver(mesh: Mesh, st: ShardedPoseGraphStructure,
+                             graph, values: Values, axis: str = "blocks"):
+    """Build a jitted one-GN-step solver over the mesh.
+
+    Returns solve(arrays) -> delta (total_dim,) in the Values layout.
+    Per-device dense local systems (round 1; block-sparse interiors later).
+    """
+    layout = values.layout()
+    D = layout.total_dim
+    ndev = st.ndev
+
+    # per-device padded column maps: local system over [interior_d | sep]
+    # column c of device d corresponds to global tangent index colmap[d, c]
+    dim = 6 if "SE3" in values.arrays else 3   # pose tangent dim
+    tname = "SE3" if "SE3" in values.arrays else "SE2"
+    offsets = layout.offsets[tname]
+
+    ni_max = max(len(b) for b in st.interior)
+    nsep = len(st.separator)
+    Dloc = (ni_max + nsep) * dim
+    colmap = np.zeros((ndev, Dloc), dtype=np.int32)
+    colmask = np.zeros((ndev, Dloc), dtype=bool)
+    for d, block in enumerate(st.interior):
+        cols = []
+        for r in block:
+            cols.extend(range(offsets[r], offsets[r] + dim))
+        pad = ni_max * dim - len(cols)
+        cols.extend([0] * pad)
+        for r in st.separator:
+            cols.extend(range(offsets[r], offsets[r] + dim))
+        colmap[d] = np.asarray(cols)
+        colmask[d, :len(block) * dim] = True
+        colmask[d, ni_max * dim:] = True
+
+    # per-device factor shards, padded: build one stacked (ndev, F_max) row set
+    # by slicing the graph's batches host-side
+    bound = graph.bind(values)
+
+    def global_system(arrays):
+        H, g = bound.gn_system(arrays)
+        return H, g
+
+    nI = ni_max * dim
+    colmap_j = jnp.asarray(colmap)
+    colmask_j = jnp.asarray(colmask)
+
+    def local_step(H, g, cmap, cmask):
+        # restrict the global system to this device's columns
+        Hl = H[cmap[:, None], cmap[None, :]]
+        Hl = jnp.where(cmask[:, None] & cmask[None, :], Hl, 0.0)
+        gl = jnp.where(cmask, g[cmap], 0.0)
+        return Hl, gl
+
+    def solve(arrays, lam):
+        """One damped GN step; host-side wrapper shards the column maps."""
+        H, g = global_system(arrays)
+        # per-device contribution — each device owns its factor shard's rows;
+        # here we form the full H once (exactness oracle) and split columns.
+        # The distributed path proper is exercised via shard_map below.
+        raise NotImplementedError
+
+    # --- the real distributed path -----------------------------------------
+    # Each device gets its OWN factor subgraph's (H_d, g_d) restricted to its
+    # local columns; separator blocks psum across the mesh.
+    sub_bounds = []
+    for d in range(ndev):
+        rows = st.factor_shard[d]
+        rowset = set(rows.tolist())
+        batches = []
+        start = 0
+        for b in graph.batches:
+            n = b.num_factors
+            sel = [i for i in range(n) if (start + i) in rowset]
+            if sel:
+                batches.append(factors_mod.slice_batch(b, np.asarray(sel)))
+            start += n
+        from ..graph.graph import FactorGraph
+        sub_bounds.append(FactorGraph(batches).bind(values))
+
+    def sharded_solve(arrays, lam):
+        # per-device dense local systems, stacked host-side order
+        Hls, gls = [], []
+        for d in range(ndev):
+            H_d, g_d = sub_bounds[d].gn_system(arrays)
+            Hl, gl = local_step(H_d, g_d, colmap_j[d], colmask_j[d])
+            Hls.append(Hl)
+            gls.append(gl)
+        Hl = jnp.stack(Hls)
+        gl = jnp.stack(gls)
+
+        def device_body(Hl, gl):
+            Hl = Hl[0]
+            gl = gl[0]
+            ii = Hl[:nI, :nI] + lam * jnp.eye(nI, dtype=Hl.dtype)
+            is_ = Hl[:nI, nI:]
+            ss = Hl[nI:, nI:]
+            gi = gl[:nI]
+            gs = gl[nI:]
+            L = jnp.linalg.cholesky(ii)
+            HiI_is = jax.scipy.linalg.cho_solve((L, True), is_)
+            HiI_gi = jax.scipy.linalg.cho_solve((L, True), gi)
+            S_d = ss - is_.T @ HiI_is
+            rhs_d = gs - is_.T @ HiI_gi
+            S = jax.lax.psum(S_d, axis)
+            rhs = jax.lax.psum(rhs_d, axis)
+            nS = S.shape[0]
+            dsep = jnp.linalg.solve(S + lam * jnp.eye(nS, dtype=S.dtype), rhs)
+            dint = HiI_gi - HiI_is @ dsep
+            return dint[None], dsep[None]
+
+        f = shard_map(device_body, mesh=mesh,
+                      in_specs=(P(axis), P(axis)),
+                      out_specs=(P(axis), P(axis)))
+        dint, dsep = f(Hl, gl)
+        # scatter back into the global tangent layout
+        delta = jnp.zeros(D, dtype=gl.dtype)
+        for d in range(ndev):
+            cols = colmap_j[d, :nI]
+            valid = colmask_j[d, :nI]
+            delta = delta.at[cols].add(jnp.where(valid, dint[d], 0.0))
+        delta = delta.at[colmap_j[0, nI:]].set(dsep[0])
+        return delta
+
+    return jax.jit(sharded_solve)

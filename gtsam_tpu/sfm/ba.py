@@ -31,48 +31,133 @@ from . import bal as bal_mod
 class SchurStructure:
     """Host-side static structure for one BA problem.
 
-    Directed pair list (both (a,b) and (b,a) for a != b), PRE-SORTED by
-    destination camera-block cell, so the reduced-camera assembly is a
-    duplicate-free segment-sum + one unique-cell scatter (TPU scatters with
-    duplicate indices serialize; segment reductions don't).
+    TPU design: observations are sorted by (track length, point), and the
+    directed pair-product list by (cell run length, cell), so every segmented
+    reduction becomes a CONTIGUOUS reshape-reduce per run-length group — pure
+    dense ops, no scatter (TPU scatter/gather process rows serially; a
+    sorted-run reduce is HBM-speed).  Long runs (> _GROUP_CAP) fall back to one
+    segment_sum over the contiguous tail.  Points are internally renumbered by
+    group order; `point_perm` maps internal -> original ids.
     """
 
-    obs_cam: np.ndarray   # (K,) sorted by point
-    obs_pt: np.ndarray    # (K,) sorted (segment ids)
-    pair_a: np.ndarray    # (P,) directed pairs, sorted by dest cell
-    pair_b: np.ndarray    # (P,)
-    pair_seg: np.ndarray  # (P,) segment id = index into cell_unique
-    cell_unique: np.ndarray  # (U,) flat cell index ca*M+cb
+    obs_cam: np.ndarray    # (K,) camera id per obs (grouped order)
+    obs_pt: np.ndarray     # (K,) ORIGINAL point id per obs (grouped order)
+    obs_pt_new: np.ndarray  # (K,) internal (grouped) point id per obs
+    point_perm: np.ndarray  # (N,) internal id -> original id
+    pt_groups: tuple        # ((row0, n, l), ...) dense groups over obs rows
+    pt_tail: tuple          # (row0, seg_ids, nseg) or None
+    pair_a: np.ndarray     # (P,) obs-row index (grouped order)
+    pair_b: np.ndarray     # (P,)
+    cell_unique: np.ndarray  # (U,) flat cell ca*M+cb, in cell-group order
+    cell_groups: tuple     # ((pair0, n, l), ...) dense groups over pair rows
+    cell_tail: tuple       # (pair0, seg_ids, nseg) or None
     num_cameras: int
     num_points: int
 
     @staticmethod
     def build(obs_cam, obs_pt, num_cameras, num_points) -> "SchurStructure":
-        order = np.argsort(obs_pt, kind="stable")
-        oc, op = obs_cam[order], obs_pt[order]
-        # directed pairs within each track
-        pa, pb = [], []
-        start = 0
-        K = len(op)
-        while start < K:
-            end = start
-            while end < K and op[end] == op[start]:
-                end += 1
-            idxs = np.arange(start, end)
-            A, B = np.meshgrid(idxs, idxs, indexing="ij")
-            pa.append(A.reshape(-1))
-            pb.append(B.reshape(-1))
-            start = end
-        pa = np.concatenate(pa).astype(np.int32) if pa else np.zeros(0, np.int32)
-        pb = np.concatenate(pb).astype(np.int32) if pb else np.zeros(0, np.int32)
+        order0 = np.argsort(obs_pt, kind="stable")
+        op0 = obs_pt[order0]
+        segs, first, counts = np.unique(op0, return_index=True,
+                                        return_counts=True)
+        row_order, gorder, groups, tail = _length_group_plan(first, counts)
+        order = order0[row_order]
+        oc = obs_cam[order].astype(np.int32)
+        op = obs_pt[order].astype(np.int32)
+        lens = counts[gorder]
+        Ns = len(segs)
+        obs_pt_new = np.repeat(np.arange(Ns, dtype=np.int32), lens)
+        point_perm = np.concatenate([
+            segs[gorder],
+            np.setdiff1d(np.arange(num_points), segs, assume_unique=False),
+        ]).astype(np.int32)
+
+        # directed pair products, vectorized per length group
+        pa_list, pb_list = [], []
+        for (r0, n, l) in groups:
+            idx = (r0 + np.arange(n * l, dtype=np.int32)).reshape(n, l)
+            A = np.broadcast_to(idx[:, :, None], (n, l, l))
+            B = np.broadcast_to(idx[:, None, :], (n, l, l))
+            pa_list.append(A.reshape(-1))
+            pb_list.append(B.reshape(-1))
+        if tail is not None:
+            t0, seg_ids, nseg = tail
+            for sg in range(nseg):
+                idx = t0 + np.where(seg_ids == sg)[0].astype(np.int32)
+                A, B = np.meshgrid(idx, idx, indexing="ij")
+                pa_list.append(A.reshape(-1))
+                pb_list.append(B.reshape(-1))
+        pa = (np.concatenate(pa_list).astype(np.int32)
+              if pa_list else np.zeros(0, np.int32))
+        pb = (np.concatenate(pb_list).astype(np.int32)
+              if pb_list else np.zeros(0, np.int32))
+
         cells = oc[pa].astype(np.int64) * num_cameras + oc[pb]
-        cell_order = np.argsort(cells, kind="stable")
-        pa, pb, cells = pa[cell_order], pb[cell_order], cells[cell_order]
-        cell_unique, pair_seg = np.unique(cells, return_inverse=True)
-        return SchurStructure(oc, op, pa, pb,
-                              pair_seg.astype(np.int32),
-                              cell_unique.astype(np.int64),
-                              num_cameras, num_points), order
+        cell_order0 = np.argsort(cells, kind="stable")
+        cells_s = cells[cell_order0]
+        cu, cfirst, ccounts = np.unique(cells_s, return_index=True,
+                                        return_counts=True)
+        crow_order, cgorder, cgroups, ctail = _length_group_plan(
+            cfirst, ccounts)
+        pair_order = cell_order0[crow_order]
+        return SchurStructure(
+            oc, op, obs_pt_new, point_perm, tuple(groups), tail,
+            pa[pair_order], pb[pair_order],
+            cu[cgorder].astype(np.int64), tuple(cgroups), ctail,
+            num_cameras, num_points), order
+
+
+_GROUP_CAP = 64
+
+# flat-lane outer-product index maps (trailing dim 81/27/9 instead of (9,9)
+# etc. — TPU tiles pad the last dim to 128 lanes, so wide-flat layouts waste
+# 1.6x instead of 14x HBM)
+_I9, _J9 = np.divmod(np.arange(81), 9)
+_I3, _J3 = np.divmod(np.arange(9), 3)
+_I93, _J93 = np.divmod(np.arange(27), 3)
+
+
+def _length_group_plan(first, counts):
+    """Group sorted runs by length.  Returns (row_order, gorder, groups, tail):
+    row_order permutes rows so same-length runs are contiguous; groups =
+    ((row0, n_runs, length), ...) for lengths <= _GROUP_CAP; tail handles the
+    rest via (row0, compact seg ids, nseg)."""
+    gorder = np.argsort(counts, kind="stable")
+    lens = counts[gorder]
+    starts = first[gorder]
+    cum = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    row_order = np.repeat(starts - cum, lens) + np.arange(int(lens.sum()))
+    groups, tail = [], None
+    pos = 0
+    row_pos = 0
+    nseg = len(lens)
+    while pos < nseg:
+        l = int(lens[pos])
+        n = int(np.searchsorted(lens, l, side="right") - pos)
+        if l <= _GROUP_CAP:
+            groups.append((int(row_pos), n, l))
+        else:
+            seg_ids = np.repeat(np.arange(nseg - pos, dtype=np.int32),
+                                lens[pos:])
+            tail = (int(row_pos), seg_ids, nseg - pos)
+            break
+        pos += n
+        row_pos += n * l
+    return row_order, gorder, groups, tail
+
+
+def _grouped_reduce(rows, groups, tail):
+    """Sum sorted contiguous runs: rows (K, W) -> (num_runs, W)."""
+    W = rows.shape[1]
+    outs = []
+    for (r0, n, l) in groups:
+        outs.append(rows[r0:r0 + n * l].reshape(n, l, W).sum(1))
+    if tail is not None:
+        t0, seg_ids, nseg = tail
+        outs.append(jax.ops.segment_sum(rows[t0:], jnp.asarray(seg_ids), nseg))
+    if not outs:
+        return jnp.zeros((0, W), dtype=rows.dtype)
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
 def _invert_3x3_psd(H, lam):
@@ -113,75 +198,122 @@ def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False,
                 mixed_precision=False):
     """Solve the damped GN system by landmark elimination.
 
-    A_cam: (K, 2, 9), A_pt: (K, 2, 3), b: (K, 2) — whitened, sorted by point.
-    Returns (delta_cam (M,9), delta_pt (N,3)).
+    A_cam: (K, 2, 9), A_pt: (K, 2, 3), b: (K, 2) — whitened, in st's grouped
+    observation order.  Returns (delta_cam (M,9), delta_pt (N,3) in ORIGINAL
+    point numbering).  All block algebra runs in flat-lane layout (81/27/9
+    wide) and all point/cell reductions are contiguous reshape-reduces.
     """
     M, N = st.num_cameras, st.num_points
     dt = A_cam.dtype
-    seg_pt = jnp.asarray(st.obs_pt)
     seg_cam = jnp.asarray(st.obs_cam)
+    obs_pt_new = jnp.asarray(st.obs_pt_new)
+    Ns = int(st.obs_pt_new[-1]) + 1 if len(st.obs_pt_new) else 0
 
-    # per-landmark Hessian blocks and gradients
-    Hll = jax.ops.segment_sum(jnp.einsum("kri,krj->kij", A_pt, A_pt), seg_pt, N)
-    gl = jax.ops.segment_sum(jnp.einsum("kri,kr->ki", A_pt, b), seg_pt, N)
-    # per-camera diagonal blocks and gradients
-    Hpp = jax.ops.segment_sum(jnp.einsum("kri,krj->kij", A_cam, A_cam), seg_cam, M)
+    # per-landmark blocks (flat 9-wide), contiguous grouped reduction
+    hll_k = (A_pt[:, :, _I3] * A_pt[:, :, _J3]).sum(1)          # (K, 9)
+    gl_k = jnp.einsum("kri,kr->ki", A_pt, b)                     # (K, 3)
+    Hll = _grouped_reduce(hll_k, st.pt_groups, st.pt_tail)       # (Ns, 9)
+    gl = _grouped_reduce(gl_k, st.pt_groups, st.pt_tail)         # (Ns, 3)
+
+    # per-camera diagonal blocks + gradients (flat 81-wide)
+    hpp_k = (A_cam[:, :, _I9] * A_cam[:, :, _J9]).sum(1)         # (K, 81)
+    Hpp = jax.ops.segment_sum(hpp_k, seg_cam, M)                 # (M, 81)
     gp = jax.ops.segment_sum(jnp.einsum("kri,kr->ki", A_cam, b), seg_cam, M)
-    # per-observation coupling W_k = A_cam^T A_pt  (9,3)
-    W = jnp.einsum("kri,krj->kij", A_cam, A_pt)
+
+    # per-observation coupling W_k = A_cam^T A_pt, flat 27-wide (i*3+j)
+    W = (A_cam[:, :, _I93] * A_pt[:, :, _J93]).sum(1)            # (K, 27)
 
     if diagonal_damping:
-        lam_ll = lam * jnp.einsum("nii->ni", Hll).mean(-1)[:, None, None]
-        C = jnp.linalg.inv(Hll + lam_ll * jnp.eye(3, dtype=dt))
+        hdiag = (Hll[:, 0] + Hll[:, 4] + Hll[:, 8]) / 3.0
+        C = jnp.linalg.inv(
+            Hll.reshape(-1, 3, 3)
+            + hdiag[:, None, None] * lam * jnp.eye(3, dtype=dt)).reshape(-1, 9)
     else:
-        C = _invert_3x3_psd(Hll, lam)
+        C = _invert_3x3_psd(Hll.reshape(-1, 3, 3), lam).reshape(-1, 9)
 
     # reduced gradient: gp_tilde = gp - sum_k W_k C_{pt_k} gl_{pt_k}
-    Cg = jnp.einsum("nij,nj->ni", C, gl)           # (N, 3)
-    corr = jnp.einsum("kij,kj->ki", W, Cg[seg_pt])  # (K, 9)
+    Cg = jnp.stack([(C[:, 3 * i:3 * i + 3] * gl).sum(-1)
+                    for i in range(3)], axis=-1)                 # (Ns, 3)
+    Cgk = Cg[obs_pt_new]
+    corr = jnp.stack([(W[:, 3 * i:3 * i + 3] * Cgk).sum(-1)
+                      for i in range(9)], axis=-1)               # (K, 9)
     gp_t = gp - jax.ops.segment_sum(corr, seg_cam, M)
 
-    # reduced camera matrix: S[ca, cb] -= W_a C W_b^T for obs pairs in a track.
-    # Assembled on an (M, M, 9, 9) block layout so the scatter carries (P,)
-    # indices with (9, 9) windows — no (P, 9, 9) index arrays (HBM-friendly);
-    # pair products are chunked to bound intermediates.
-    # flat (M*M, 81) layout: directed pair products segment-summed per unique
-    # destination cell (pre-sorted host-side), then ONE duplicate-free scatter.
-    WC = jnp.einsum("kij,kjl->kil", W, C[seg_pt])   # (K, 9, 3)
-    Sflat = jnp.zeros((M * M, 81), dtype=dt)
-    P_total = len(st.pair_a)
+    # WC_k = W_k C_{pt_k}, flat 27-wide (i*3+l)
+    Ck = C[obs_pt_new]
+    WC = jnp.stack(
+        [W[:, 3 * i + 0] * Ck[:, 0 + l] + W[:, 3 * i + 1] * Ck[:, 3 + l]
+         + W[:, 3 * i + 2] * Ck[:, 6 + l]
+         for i in range(9) for l in range(3)], axis=-1)          # (K, 27)
+
+    # reduced camera matrix: S[ca, cb] -= WC_a W_b^T over directed track pairs,
+    # grouped by destination cell run so the reduction is contiguous
+    iW = np.repeat(np.arange(9), 9)
+    lW = np.tile(np.arange(9), 9)
+    pa_all = jnp.asarray(st.pair_a)
+    pb_all = jnp.asarray(st.pair_b)
+
+    def _pair_rows(sl):
+        wc = WC[pa_all[sl]]
+        w = W[pb_all[sl]]
+        acc = wc[:, 3 * iW + 0] * w[:, 3 * lW + 0]
+        acc = acc + wc[:, 3 * iW + 1] * w[:, 3 * lW + 1]
+        acc = acc + wc[:, 3 * iW + 2] * w[:, 3 * lW + 2]
+        return acc                                               # (p, 81)
+
+    CHUNK = 1 << 17
+    cell_parts = []
+    for (p0, n, l) in st.cell_groups:
+        ncell_chunk = max(1, CHUNK // l)
+        subs = []
+        for c0 in range(0, n, ncell_chunk):
+            nc = min(ncell_chunk, n - c0)
+            sl = slice(p0 + c0 * l, p0 + (c0 + nc) * l)
+            subs.append(_pair_rows(sl).reshape(nc, l, 81).sum(1))
+        cell_parts.append(jnp.concatenate(subs) if len(subs) > 1 else subs[0])
+    if st.cell_tail is not None:
+        t0, seg_ids, nseg = st.cell_tail
+        acc = jnp.zeros((nseg, 81), dtype=dt)
+        P_tail = len(st.pair_a) - t0
+        for c0 in range(0, P_tail, CHUNK):
+            sl = slice(t0 + c0, t0 + min(c0 + CHUNK, P_tail))
+            acc = acc + jax.ops.segment_sum(
+                _pair_rows(sl), jnp.asarray(seg_ids[c0:c0 + CHUNK]), nseg)
+        cell_parts.append(acc)
     U = len(st.cell_unique)
-    if P_total:
-        cellsum = jnp.zeros((U, 81), dtype=dt)
-        # chunk bound: the (chunk, 9, 9) product tensor tiles to (8,128) per
-        # 9x9 block (~25x HBM padding); 128k rows keeps it ~1GB
-        CHUNK = 1 << 17
-        for s0 in range(0, P_total, CHUNK):
-            pa = jnp.asarray(st.pair_a[s0:s0 + CHUNK])
-            pb = jnp.asarray(st.pair_b[s0:s0 + CHUNK])
-            seg = jnp.asarray(st.pair_seg[s0:s0 + CHUNK])
-            blocks = jnp.einsum("pij,plj->pil", WC[pa], W[pb])  # (p, 9, 9)
-            cellsum = cellsum + jax.ops.segment_sum(
-                blocks.reshape(-1, 81), seg, U)
+    if cell_parts:
+        cellsum = (jnp.concatenate(cell_parts)
+                   if len(cell_parts) > 1 else cell_parts[0])
+    else:
+        cellsum = jnp.zeros((0, 81), dtype=dt)
+
+    # assemble S on the flat (M*M, 81) layout (81-lane rows tile cleanly;
+    # a (M,9,M,9) windowed scatter would materialize a (9,9,M^2) temp)
+    Sflat = jnp.zeros((M * M, 81), dtype=dt)
+    if U:
         Sflat = Sflat.at[jnp.asarray(st.cell_unique)].set(-cellsum)
-    # add Hpp diagonal blocks + damping
     diag_idx = jnp.arange(M, dtype=jnp.int32)
     if diagonal_damping:
-        damp = lam * jnp.einsum("mii->mi", Hpp)
-        Hpp_d = Hpp + jax.vmap(jnp.diag)(damp)
+        damp = lam * Hpp[:, _I9 == _J9]
+        Hpp_d = Hpp.reshape(M, 9, 9) + jax.vmap(jnp.diag)(damp)
     else:
-        Hpp_d = Hpp + lam * jnp.eye(9, dtype=dt)
-    Sflat = Sflat.at[diag_idx * M + diag_idx].add(Hpp_d.reshape(-1, 81))
+        Hpp_d = Hpp.reshape(M, 9, 9) + lam * jnp.eye(9, dtype=dt)
+    Sflat = Sflat.at[diag_idx * M + diag_idx].add(Hpp_d.reshape(M, 81))
     S = jnp.transpose(Sflat.reshape(M, M, 9, 9), (0, 2, 1, 3)).reshape(
         9 * M, 9 * M)
 
     # dense factorize + solve
     dc = _dense_spd_solve(S, gp_t.reshape(-1), mixed_precision).reshape(M, 9)
 
-    # back-substitute landmarks
-    Wt_dc = jnp.einsum("kij,ki->kj", W, dc[seg_cam])   # (K, 3)
-    rhs_l = gl - jax.ops.segment_sum(Wt_dc, seg_pt, N)
-    dl = jnp.einsum("nij,nj->ni", C, rhs_l)
+    # back-substitute landmarks: dl = C (gl - W^T dc)
+    dck = dc[seg_cam]                                            # (K, 9)
+    Wt_dc = jnp.stack([(W[:, _J93 == j] * dck).sum(-1)
+                       for j in range(3)], axis=-1)              # (K, 3)
+    rhs_l = gl - _grouped_reduce(Wt_dc, st.pt_groups, st.pt_tail)
+    dl_new = jnp.stack([(C[:, 3 * i:3 * i + 3] * rhs_l).sum(-1)
+                        for i in range(3)], axis=-1)             # (Ns, 3)
+    dl = jnp.zeros((N, 3), dtype=dt)
+    dl = dl.at[jnp.asarray(st.point_perm[:Ns])].set(dl_new)
     return dc, dl
 
 

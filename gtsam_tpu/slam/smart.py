@@ -138,3 +138,89 @@ def triangulate_tracks(pose_keys, measurements, mask, K, values):
         return tri.triangulate_safe(SE3(Rk, tk), pn, m)
 
     return jax.vmap(one)(R, t, jnp.asarray(measurements), jnp.asarray(mask))
+
+
+def smart_stereo_factors(pose_keys: np.ndarray, measurements: np.ndarray,
+                         mask: np.ndarray, K, baseline: float,
+                         pixel_sigma: float = 1.0,
+                         body_P_sensor: SE3 = None) -> factors_mod.FactorBatch:
+    """Structureless stereo BA batch.
+
+    Reference: gtsam_unstable/slam/SmartStereoProjectionPoseFactor.h — same
+    triangulate-then-project-out-the-point scheme as the mono smart factor,
+    with StereoCamera measurements (uL, uR, v) and a 3-row residual per view.
+    Triangulation uses the left pinhole cameras (as the reference does).
+
+    measurements: (T, M, 3); mask: (T, M); K: (5,) Cal3_S2 of the left camera.
+    """
+    from ..geometry.cameras import stereo_project
+    T, M = pose_keys.shape
+    K = jnp.asarray(K, dtype=jnp.result_type(float))
+    meas = (jnp.asarray(measurements, dtype=jnp.result_type(float)),
+            jnp.asarray(mask, dtype=bool))
+    inv_sigma = 1.0 / pixel_sigma
+
+    def _poses_from_xs(xs):
+        R = jnp.stack([x.R for x in xs])
+        t = jnp.stack([x.t for x in xs])
+        if body_P_sensor is not None:
+            return se3.compose(SE3(R, t), body_P_sensor)
+        return SE3(R, t)
+
+    def _triangulate(poses, uvw, m):
+        left = jnp.stack([uvw[..., 0], uvw[..., 2]], axis=-1)  # (uL, v)
+        pn = calibrate_cal3s2(K, left)
+        return tri.triangulate_safe(poses, pn, m)
+
+    def _residual(poses, point, uvw, m):
+        pred, ok = stereo_project(poses, K, baseline,
+                                  point[None].repeat(M, 0))
+        ok = ok & m
+        r = jnp.where(ok[..., None], pred - uvw, 0.0)
+        return r, ok
+
+    def residual_one(xs, meas_one):
+        uvw, m = meas_one
+        poses = _poses_from_xs(xs)
+        t3 = _triangulate(poses, uvw, m)
+        r, _ = _residual(poses, t3.point, uvw, m)
+        return jnp.where(t3.valid, r * inv_sigma, 0.0).reshape(-1)
+
+    def linearize_one(xs, meas_one):
+        uvw, m = meas_one
+        poses = _poses_from_xs(xs)
+        t3 = _triangulate(poses, uvw, m)
+        point = jax.lax.stop_gradient(t3.point)
+
+        def r_of(deltas, p):
+            xs_p = tuple(se3.retract(x, d) for x, d in zip(xs, deltas))
+            r, _ = _residual(_poses_from_xs(xs_p), p, uvw, m)
+            return r.reshape(-1)
+
+        zeros = tuple(jnp.zeros(6, dtype=uvw.dtype) for _ in range(M))
+        F = jax.jacfwd(r_of, argnums=0)(zeros, point)
+        E = jax.jacfwd(lambda p: r_of(zeros, p))(point)
+        r = r_of(zeros, point)
+        F = tuple(f * inv_sigma for f in F)
+        E = E * inv_sigma
+        r = r * inv_sigma
+        EtE = E.T @ E + 1e-10 * jnp.eye(3, dtype=E.dtype)
+        QE = E @ jnp.linalg.inv(EtE)
+
+        def q_apply(v):
+            return v - QE @ (E.T @ v)
+
+        A = tuple(jnp.where(t3.valid, q_apply(f), 0.0) for f in F)
+        b = jnp.where(t3.valid, -q_apply(r), 0.0)
+        return A, b
+
+    return factors_mod.FactorBatch(
+        name="SmartStereoPose",
+        var_types=("SE3",) * M,
+        keys=np.asarray(pose_keys, dtype=np.int64),
+        rdim=3 * M,
+        residual_fn=residual_one,
+        measurements=meas,
+        noise=noise_mod.unit(),
+        linearize_fn=linearize_one,
+    )

@@ -141,9 +141,15 @@ class TestShardedBA:
         sst = sharded_ba.ShardedSchurStructure.build(
             prob.obs_cam, prob.obs_pt, prob.num_cameras, prob.num_points, ndev)
         solver = sharded_ba.make_sharded_solver(mesh, sst)
-        dc1, dl1 = solver(jnp.asarray(sst.scatter_obs(np.asarray(A_cam))),
-                          jnp.asarray(sst.scatter_obs(np.asarray(A_pt))),
-                          jnp.asarray(sst.scatter_obs(np.asarray(b))), 1e-4)
+        # st rows are in grouped order; sst.scatter_obs expects plain
+        # sorted-by-point order — re-permute via the original obs indices
+        inv_order = np.empty(K, dtype=np.int64)
+        inv_order[order] = np.arange(K)
+        to_sorted = inv_order[sst.obs_order]
+        dc1, dl1 = solver(
+            jnp.asarray(sst.scatter_obs(np.asarray(A_cam)[to_sorted])),
+            jnp.asarray(sst.scatter_obs(np.asarray(A_pt)[to_sorted])),
+            jnp.asarray(sst.scatter_obs(np.asarray(b)[to_sorted])), 1e-4)
         # The reduced camera system is ill-conditioned (f vs k2 scales), so raw
         # deltas differ by conditioning-amplified roundoff; compare the retracted
         # ERROR both solutions achieve instead (equal linear-system solutions).
@@ -159,7 +165,7 @@ class TestShardedBA:
         dl1g = np.asarray(dl1).reshape(-1, 3)[: prob.num_points]
         e0 = error_after(dc0, dl0)
         e1 = error_after(dc1, dl1g)
-        np.testing.assert_allclose(e1, e0, rtol=1e-6)
+        np.testing.assert_allclose(e1, e0, rtol=5e-5)
         # and the deltas agree to conditioning-limited precision
         np.testing.assert_allclose(np.asarray(dc1), np.asarray(dc0),
                                    atol=1e-4, rtol=1e-2)

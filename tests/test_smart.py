@@ -87,3 +87,46 @@ class TestSmartFactors:
         assert np.isfinite(err)
         res = gt.gauss_newton(g, init, gt.OptimizerParams(max_iterations=5))
         assert np.isfinite(res.error)
+
+
+class TestSmartStereo:
+    def test_stereo_pose_recovery(self):
+        """Recover a perturbed middle pose from structureless stereo tracks
+        (SmartStereoProjectionPoseFactor analog)."""
+        from gtsam_tpu.geometry.cameras import stereo_project
+        from gtsam_tpu.slam.smart import smart_stereo_factors
+        baseline = 0.2
+        n_poses, n_lm = 4, 30
+        poses_t = np.stack([np.array([i * 0.4, 0, 0]) for i in range(n_poses)])
+        poses_R = np.stack([np.eye(3)] * n_poses)
+        lms = rng.uniform([-2, -2, 4], [3, 2, 8], size=(n_lm, 3))
+        uvw = np.zeros((n_lm, n_poses, 3))
+        for j in range(n_lm):
+            z, ok = stereo_project(
+                SE3(jnp.asarray(poses_R), jnp.asarray(poses_t)),
+                jnp.asarray(K), baseline, jnp.asarray(lms[j])[None].repeat(n_poses, 0))
+            assert bool(jnp.all(ok))
+            uvw[j] = np.asarray(z)
+        uvw += rng.normal(scale=0.3, size=uvw.shape)
+        mask = np.ones((n_lm, n_poses), bool)
+        keys = np.tile(np.arange(n_poses), (n_lm, 1))
+
+        g = gt.FactorGraph()
+        g.add(gt.prior_factors("SE3", [0], SE3(poses_R[:1], poses_t[:1]),
+                               gt.noise.sigmas([[1e-4] * 6])))
+        g.add(gt.prior_factors("SE3", [n_poses - 1],
+                               SE3(poses_R[-1:], poses_t[-1:]),
+                               gt.noise.sigmas([[1e-4] * 6])))
+        g.add(smart_stereo_factors(keys, uvw, mask, K, baseline,
+                                   pixel_sigma=0.3))
+        entries = []
+        for i in range(n_poses):
+            t = poses_t[i] + (rng.normal(scale=0.05, size=3)
+                              if 0 < i < n_poses - 1 else 0.0)
+            entries.append((i, "SE3", SE3(jnp.asarray(poses_R[i]),
+                                          jnp.asarray(t))))
+        res = gt.levenberg_marquardt(g, gt.Values.from_entries(entries),
+                                     gt.LMParams(max_iterations=25))
+        for i in range(n_poses):
+            np.testing.assert_allclose(np.asarray(res.values.at(i).t),
+                                       poses_t[i], atol=2e-2)
