@@ -53,6 +53,10 @@ class SchurStructure:
     cell_tail: tuple       # (pair0, seg_ids, nseg) or None
     num_cameras: int
     num_points: int
+    cam_pad_idx: np.ndarray  # (R,) obs row per padded slot (sentinel K = zero)
+    cam_buckets: tuple     # ((pos0, n_runs, P), ...) pow2-padded dense buckets
+    cam_tail: None         # unused (kept for layout symmetry)
+    cam_ids: np.ndarray    # (Mu,) camera id per reduced run (bucket order)
 
     @staticmethod
     def build(obs_cam, obs_pt, num_cameras, num_points) -> "SchurStructure":
@@ -100,11 +104,24 @@ class SchurStructure:
         crow_order, cgorder, cgroups, ctail = _length_group_plan(
             cfirst, ccounts)
         pair_order = cell_order0[crow_order]
+
+        # camera-side reduction plan: obs rows sorted by camera id so the
+        # per-camera Hpp/gradient reductions are contiguous reshape-reduces
+        # (jax.ops.segment_sum lowers to a duplicate-index scatter, which TPU
+        # serializes per row — ~0.25 s/iter at Ladybug scale)
+        kam_order0 = np.argsort(oc, kind="stable").astype(np.int32)
+        ocs = oc[kam_order0]
+        kam_ids, kfirst, kcounts = np.unique(ocs, return_index=True,
+                                             return_counts=True)
+        cam_pad_idx, cam_buckets, kgorder = _pow2_pad_plan(
+            kam_order0, kfirst, kcounts, sentinel=len(oc))
+        cam_ids = kam_ids[kgorder].astype(np.int32)
         return SchurStructure(
             oc, op, obs_pt_new, point_perm, tuple(groups), tail,
             pa[pair_order], pb[pair_order],
             cu[cgorder].astype(np.int64), tuple(cgroups), ctail,
-            num_cameras, num_points), order
+            num_cameras, num_points,
+            cam_pad_idx, tuple(cam_buckets), None, cam_ids), order
 
 
 _GROUP_CAP = 64
@@ -144,6 +161,54 @@ def _length_group_plan(first, counts):
         pos += n
         row_pos += n * l
     return row_order, gorder, groups, tail
+
+
+def _pow2_pad_plan(row_order, first, counts, sentinel):
+    """Pad each sorted run to the next power of two and bucket runs by padded
+    length.  Returns (pad_idx, buckets, run_order): pad_idx (R,) indexes the
+    original rows (== sentinel for padding slots, which must map to a zero
+    row); buckets = ((pos0, n_runs, P), ...) contiguous in pad_idx; run_order
+    permutes the input runs into bucket order.  This turns an arbitrary
+    segmented reduction into <= log2(maxlen) dense reshape-reduces at <= 2x
+    row inflation — no scatter, no serialization (TPU scatters with duplicate
+    indices process rows serially)."""
+    pows = np.maximum(1, 1 << np.ceil(np.log2(np.maximum(counts, 1))
+                                      ).astype(np.int64))
+    run_order = np.argsort(pows, kind="stable")
+    pad_idx_parts, buckets = [], []
+    pos = 0
+    i = 0
+    nruns = len(counts)
+    while i < nruns:
+        P = int(pows[run_order[i]])
+        j = int(np.searchsorted(pows[run_order], P, side="right"))
+        runs = run_order[i:j]
+        block = np.full((len(runs), P), sentinel, dtype=np.int32)
+        for r, run in enumerate(runs):
+            c = int(counts[run])
+            f = int(first[run])
+            block[r, :c] = row_order[f:f + c]
+        pad_idx_parts.append(block.reshape(-1))
+        buckets.append((pos, len(runs), P))
+        pos += len(runs) * P
+        i = j
+    pad_idx = (np.concatenate(pad_idx_parts).astype(np.int32)
+               if pad_idx_parts else np.zeros(0, np.int32))
+    return pad_idx, buckets, run_order
+
+
+def _padded_reduce(rows, pad_idx, buckets, num_out, out_ids):
+    """Sum padded contiguous runs: rows (K, W) -> (num_out, W) scattered to
+    out_ids (unique).  pad_idx slots == K gather an appended zero row."""
+    W = rows.shape[1]
+    ext = jnp.concatenate([rows, jnp.zeros((1, W), dtype=rows.dtype)])
+    g = ext[jnp.asarray(pad_idx)]
+    outs = [g[p0:p0 + n * P].reshape(n, P, W).sum(1) for (p0, n, P) in buckets]
+    if not outs:
+        return jnp.zeros((num_out, W), dtype=rows.dtype)
+    red = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+    return jnp.zeros((num_out, W), dtype=rows.dtype).at[
+        jnp.asarray(out_ids)].set(red)
 
 
 def _grouped_reduce(rows, groups, tail):
@@ -209,16 +274,22 @@ def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False,
     obs_pt_new = jnp.asarray(st.obs_pt_new)
     Ns = int(st.obs_pt_new[-1]) + 1 if len(st.obs_pt_new) else 0
 
+    def cam_reduce(rows):
+        return _padded_reduce(rows, st.cam_pad_idx, st.cam_buckets, M,
+                              st.cam_ids)
+
     # per-landmark blocks (flat 9-wide), contiguous grouped reduction
     hll_k = (A_pt[:, :, _I3] * A_pt[:, :, _J3]).sum(1)          # (K, 9)
     gl_k = jnp.einsum("kri,kr->ki", A_pt, b)                     # (K, 3)
     Hll = _grouped_reduce(hll_k, st.pt_groups, st.pt_tail)       # (Ns, 9)
     gl = _grouped_reduce(gl_k, st.pt_groups, st.pt_tail)         # (Ns, 3)
 
-    # per-camera diagonal blocks + gradients (flat 81-wide)
+    # per-camera diagonal blocks + gradients (flat 81+9-wide, one fused
+    # pow2-padded reduction — no duplicate-index scatter)
     hpp_k = (A_cam[:, :, _I9] * A_cam[:, :, _J9]).sum(1)         # (K, 81)
-    Hpp = jax.ops.segment_sum(hpp_k, seg_cam, M)                 # (M, 81)
-    gp = jax.ops.segment_sum(jnp.einsum("kri,kr->ki", A_cam, b), seg_cam, M)
+    gp_k = jnp.einsum("kri,kr->ki", A_cam, b)                    # (K, 9)
+    cam_red = cam_reduce(jnp.concatenate([hpp_k, gp_k], axis=1))
+    Hpp, gp = cam_red[:, :81], cam_red[:, 81:]
 
     # per-observation coupling W_k = A_cam^T A_pt, flat 27-wide (i*3+j)
     W = (A_cam[:, :, _I93] * A_pt[:, :, _J93]).sum(1)            # (K, 27)
@@ -237,7 +308,7 @@ def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False,
     Cgk = Cg[obs_pt_new]
     corr = jnp.stack([(W[:, 3 * i:3 * i + 3] * Cgk).sum(-1)
                       for i in range(9)], axis=-1)               # (K, 9)
-    gp_t = gp - jax.ops.segment_sum(corr, seg_cam, M)
+    gp_t = gp - cam_reduce(corr)
 
     # WC_k = W_k C_{pt_k}, flat 27-wide (i*3+l)
     Ck = C[obs_pt_new]
