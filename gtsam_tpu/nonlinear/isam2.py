@@ -28,6 +28,7 @@ from ..graph import factors as factors_mod
 from ..graph import manifolds
 from ..graph.graph import FactorGraph
 from ..graph.values import Values, retract_arrays
+from ..utils.debug import debug_print
 
 
 @dataclasses.dataclass
@@ -81,6 +82,10 @@ class ISAM2:
                 and (force_relinearize
                      or self.update_count % self.params.relinearize_skip == 0)):
             relin_count = self._relinearize()
+        debug_print("ISAM2 update",
+                    f"update {self.update_count}: {self.graph.num_factors} "
+                    f"factors, relinearized {relin_count} keys, "
+                    f"structure_dirty={self._structure_dirty}")
 
         self._ensure_solver()
         if self.params.evaluate_nonlinear_error:

@@ -1,0 +1,2 @@
+from . import checkpoint, metrics, timing
+from .debug import debug_print, is_debug, set_debug
