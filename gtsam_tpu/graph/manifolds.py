@@ -12,7 +12,7 @@ from typing import Callable
 
 import jax.numpy as jnp
 
-from ..geometry import cameras, se2, se3, so3
+from ..geometry import cameras, se2, se3, sim2, sim3, so3
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +59,10 @@ POINT3 = register(_vector_manifold("Point3", 3))
 POINT2 = register(_vector_manifold("Point2", 2))
 VEC3 = register(_vector_manifold("Vec3", 3))
 VEC6 = register(_vector_manifold("Vec6", 6))
+SIM2 = register(ManifoldType("Sim2", 4, sim2.retract, sim2.local,
+                             sim2.identity))
+SIM3 = register(ManifoldType("Sim3", 7, sim3.retract, sim3.local,
+                             sim3.identity))
 BAL_CAMERA = register(ManifoldType(
     "BalCamera", 9, cameras.bal_retract, cameras.bal_local, cameras.bal_identity))
 PINHOLE_S2 = register(ManifoldType(
