@@ -61,16 +61,9 @@ def residuals(batch: FactorBatch, xs):
     return jax.vmap(one)(xs, batch.measurements)
 
 
-def linearize(batch: FactorBatch, xs):
-    """Batched whitened Jacobians/residuals in tangent space.
-
-    Returns (A: tuple of (N, rdim, d_i), b: (N, rdim)) with convention
-    ||A dx - b||^2,  b = -whitened_residual.
-    """
-    if batch.linearize_fn is not None:
-        J, b = jax.vmap(batch.linearize_fn)(xs, batch.measurements)
-        return J, b
-
+def linearize_raw(batch: FactorBatch, xs):
+    """Batched UNWHITENED tangent-space Jacobians/residuals: (J, r) with
+    J = tuple of (N, rdim, d_i), r = (N, rdim) raw residuals."""
     dims = batch.dims()
     retracts = tuple(manifolds.get(t).retract for t in batch.var_types)
 
@@ -84,7 +77,20 @@ def linearize(batch: FactorBatch, xs):
         r = res_tangent(zeros, xs_one, meas_one)
         return J, r
 
-    J, r = jax.vmap(one)(xs, batch.measurements)
+    return jax.vmap(one)(xs, batch.measurements)
+
+
+def linearize(batch: FactorBatch, xs):
+    """Batched whitened Jacobians/residuals in tangent space.
+
+    Returns (A: tuple of (N, rdim, d_i), b: (N, rdim)) with convention
+    ||A dx - b||^2,  b = -whitened_residual.
+    """
+    if batch.linearize_fn is not None:
+        J, b = jax.vmap(batch.linearize_fn)(xs, batch.measurements)
+        return J, b
+
+    J, r = linearize_raw(batch, xs)
     wr = batch.noise.whiten(r)
     wJ = tuple(batch.noise.whiten_jacobian(Ji) for Ji in J)
     w = batch.noise.robust_weights(wr)

@@ -63,6 +63,25 @@ class BoundGraph:
                 rows.append(r)
                 offs.append(self.layout.offsets[t][r])
             self.structures.append(_BatchStructure(tuple(rows), tuple(offs)))
+        # hard (sigma == 0) rows of 'constrained' noise models become exact
+        # equality constraints C dx = c, eliminated by the dense solver's KKT
+        # path (reference constraint-aware QR, NoiseModel.h:260)
+        self._constraints = []  # (batch_idx, n_idx, r_idx, row0) host-side
+        nc = 0
+        for bi, b in enumerate(graph.batches):
+            if b.noise.kind != "constrained":
+                continue
+            if b.linearize_fn is not None:
+                raise NotImplementedError(
+                    "constrained noise requires the autodiff linearize path")
+            data = np.asarray(b.noise.data)
+            mask = np.broadcast_to(data == 0, (b.num_factors, b.rdim))
+            n_idx, r_idx = np.nonzero(mask)
+            if len(n_idx):
+                self._constraints.append(
+                    (bi, n_idx.astype(np.int32), r_idx.astype(np.int32), nc))
+                nc += len(n_idx)
+        self.num_constraints = nc
 
     # -- pure functions over values.arrays --------------------------------
 
@@ -116,6 +135,33 @@ class BoundGraph:
                         H = H.at[jnp.swapaxes(cidx, 1, 2), jnp.swapaxes(ridx, 1, 2)].add(
                             jnp.swapaxes(Hij, 1, 2))
         return H, g
+
+    def constraint_system(self, arrays):
+        """Linearized hard constraints C dx = c from sigma == 0 rows.
+
+        Returns (C: (Nc, D), c: (Nc,)) — the unwhitened Jacobian rows and
+        negated residuals of the constrained rows.  Solvers append these to the
+        GN system as a KKT block (equality-constrained least squares)."""
+        D = self.layout.total_dim
+        dt = jnp.result_type(float)
+        C = jnp.zeros((self.num_constraints, D), dtype=dt)
+        c = jnp.zeros(self.num_constraints, dtype=dt)
+        for (bi, n_idx, r_idx, row0) in self._constraints:
+            b = self.graph.batches[bi]
+            st = self.structures[bi]
+            xs = tuple(
+                jax.tree.map(lambda a: a[st.rows[s]], arrays[t])
+                for s, t in enumerate(b.var_types)
+            )
+            J, r = factors_mod.linearize_raw(b, xs)
+            rows = row0 + np.arange(len(n_idx))
+            c = c.at[rows].set(-r[n_idx, r_idx])
+            dims = b.dims()
+            for i in range(b.arity):
+                cols = (st.col_offsets[i][n_idx][:, None]
+                        + np.arange(dims[i])[None, :])
+                C = C.at[rows[:, None], cols].add(J[i][n_idx, r_idx, :])
+        return C, c
 
     def gradient(self, arrays):
         """Gradient of 0.5*chi2 at arrays (negative of g): autodiff-free."""

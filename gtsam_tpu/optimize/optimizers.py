@@ -77,17 +77,47 @@ def _dense_solve(H, g, lam, diagonal_damping, min_diag=1e-6, max_diag=1e32):
     return dx
 
 
+def _kkt_solve(H, g, C, c, lam, diagonal_damping,
+               min_diag=1e-6, max_diag=1e32):
+    """Equality-constrained GN step: min 0.5 dx'H dx - g'dx  s.t.  C dx = c.
+
+    Solves the KKT system [[H+damping, C'], [C, -eps I]] [dx; nu] = [g; c]
+    (the TPU-native replacement for the reference's constraint-aware QR,
+    NoiseModel.h:260 — LM damping applies to H only, constraints stay exact;
+    the -eps regularizer keeps LU nonsingular under redundant constraints)."""
+    D = H.shape[0]
+    m = C.shape[0]
+    if diagonal_damping:
+        d = jnp.clip(jnp.diagonal(H), min_diag, max_diag)
+        Hd = H + jnp.diag(lam * d)
+    else:
+        Hd = H + lam * jnp.eye(D, dtype=H.dtype)
+    eps = jnp.asarray(1e-12 if H.dtype == jnp.float64 else 1e-6, H.dtype)
+    K = jnp.block([[Hd, C.T], [C, -eps * jnp.eye(m, dtype=H.dtype)]])
+    rhs = jnp.concatenate([g, c])
+    sol = jnp.linalg.solve(K, rhs)
+    return sol[:D]
+
+
 class DenseSolver:
-    """Dense normal-equations + Cholesky (default for small/medium graphs)."""
+    """Dense normal-equations + Cholesky (default for small/medium graphs);
+    graphs with 'constrained' noise rows get an exact KKT solve."""
 
     def bind(self, bound):
         self._bound = bound
         return self
 
     def system(self, arrays):
+        if getattr(self._bound, "num_constraints", 0):
+            H, g = self._bound.gn_system(arrays)
+            C, c = self._bound.constraint_system(arrays)
+            return H, g, C, c
         return self._bound.gn_system(arrays)
 
     def solve(self, system, lam, diagonal_damping):
+        if len(system) == 4:
+            H, g, C, c = system
+            return _kkt_solve(H, g, C, c, lam, diagonal_damping)
         H, g = system
         return _dense_solve(H, g, lam, diagonal_damping)
 
@@ -100,6 +130,11 @@ class SparseSolver:
 
     def bind(self, bound):
         from ..linear.sparse import SparseCholeskySolver
+        if getattr(bound, "num_constraints", 0):
+            raise NotImplementedError(
+                "exact constrained (sigma == 0) rows require DenseSolver; "
+                "use noise.sigmas (large-precision approximation) with the "
+                "sparse solver")
         self._s = SparseCholeskySolver(bound, order=self._order)
         return self
 
@@ -282,6 +317,9 @@ def dogleg(graph: FactorGraph, initial: Values,
     if solver is not None and not isinstance(solver, DenseSolver):
         raise NotImplementedError("dogleg currently requires the dense solver")
     bound, error_fn, system_fn, try_step = _make_step_fns(graph, initial, solver)
+    if getattr(bound, "num_constraints", 0):
+        raise NotImplementedError(
+            "dogleg does not support exact constrained noise; use LM/GN")
     layout = initial.layout()
 
     @jax.jit

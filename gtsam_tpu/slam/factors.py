@@ -122,20 +122,23 @@ def karcher_mean_so3(rotations, iterations: int = 10):
     return mean
 
 
-def nonlinear_equality_factors(tname: str, keys, targets,
-                               mu: float = 1e6) -> factors_mod.FactorBatch:
-    """NonlinearEquality<T>: hard constraint approximated by precision mu
-    (the reference's constrained noise model semantics, NoiseModel.h:260)."""
+def nonlinear_equality_factors(tname: str, keys, targets, mu: float = 1e6,
+                               exact: bool = False) -> factors_mod.FactorBatch:
+    """NonlinearEquality<T> (the reference's constrained noise model semantics,
+    NoiseModel.h:260).  exact=False approximates the constraint with precision
+    mu (works with every solver); exact=True emits sigma==0 constrained noise,
+    eliminated exactly by the dense solver's KKT path."""
     from ..graph import manifolds
     m = manifolds.get(tname)
 
     def fn(xs, target):
         return m.local(target, xs[0])
 
+    noise = (noise_mod.constrained_all(m.dim, mu=mu) if exact
+             else noise_mod.isotropic(m.dim, 1.0 / np.sqrt(mu)))
     return factors_mod.FactorBatch(
         f"NonlinearEquality{tname}", (tname,), np.asarray(keys).reshape(-1, 1),
-        m.dim, fn, targets,
-        noise_mod.isotropic(m.dim, 1.0 / np.sqrt(mu)))
+        m.dim, fn, targets, noise)
 
 
 def anti_factor(batch: factors_mod.FactorBatch) -> factors_mod.FactorBatch:

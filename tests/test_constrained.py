@@ -1,0 +1,124 @@
+"""Exact sigma == 0 constrained elimination (KKT path in DenseSolver).
+
+Reference semantics: noiseModel::Constrained (gtsam/linear/NoiseModel.h:260,
+constraint-aware QR :514) — hard rows are satisfied EXACTLY, soft rows are
+least-squares-minimized subject to them.  Oracle: hand-solved KKT systems and
+machine-precision constraint satisfaction after optimization.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+import gtsam_tpu as gt
+from gtsam_tpu.base import noise as noise_mod
+from gtsam_tpu.graph import factors as factors_mod
+from gtsam_tpu.graph.graph import FactorGraph
+from gtsam_tpu.graph.values import Values
+from gtsam_tpu.optimize import optimizers as opt
+from gtsam_tpu.slam.factors import nonlinear_equality_factors
+
+
+def _linear_chain_values(n, dim=2):
+    t = f"Vec{dim}"
+    return Values({t: jnp.zeros((n, dim))}, {t: np.arange(n)})
+
+
+def test_constrained_prior_pins_exactly():
+    # x0 hard-pinned at (1, 2); x1 tied to x0 by a soft between; soft prior
+    # pulls x1 elsewhere.  x0 must equal its target to machine precision.
+    v = _linear_chain_values(2)
+    g = FactorGraph()
+    g.add(factors_mod.prior_factors(
+        "Vec2", [0], np.array([[1.0, 2.0]]),
+        noise_mod.constrained(np.zeros((1, 2)))))
+    g.add(factors_mod.between_factors(
+        "Vec2", [0], [1], np.array([[1.0, 0.0]]),
+        noise_mod.isotropic(2, 0.5)))
+    g.add(factors_mod.prior_factors(
+        "Vec2", [1], np.array([[5.0, 5.0]]), noise_mod.isotropic(2, 1.0)))
+    res = opt.gauss_newton(g, v)
+    x0 = np.asarray(res.values.arrays["Vec2"][0])
+    np.testing.assert_allclose(x0, [1.0, 2.0], atol=1e-9)
+    # x1 = least-squares combination of the two soft factors given x0 fixed:
+    # min (1/0.5^2)||x1 - x0 - (1,0)||^2 + ||x1 - (5,5)||^2
+    # => x1 = (4*(x0+(1,0)) + (5,5)) / 5
+    expect = (4.0 * np.array([2.0, 2.0]) + np.array([5.0, 5.0])) / 5.0
+    x1 = np.asarray(res.values.arrays["Vec2"][1])
+    np.testing.assert_allclose(x1, expect, atol=1e-8)
+
+
+def test_mixed_hard_soft_rows():
+    # one prior with sigma = [0, 1]: first row exact, second row soft against
+    # a competing unit prior.
+    v = _linear_chain_values(1)
+    g = FactorGraph()
+    g.add(factors_mod.prior_factors(
+        "Vec2", [0], np.array([[3.0, 3.0]]),
+        noise_mod.constrained(np.array([[0.0, 1.0]]))))
+    g.add(factors_mod.prior_factors(
+        "Vec2", [0], np.array([[0.0, 0.0]]), noise_mod.isotropic(2, 1.0)))
+    res = opt.gauss_newton(g, v)
+    x = np.asarray(res.values.arrays["Vec2"][0])
+    assert abs(x[0] - 3.0) < 1e-9          # hard row exact
+    np.testing.assert_allclose(x[1], 1.5, atol=1e-8)  # soft average
+
+
+def test_kkt_matches_numpy_oracle():
+    # random small equality-constrained least squares, compared against a
+    # direct numpy KKT solve
+    rng = np.random.default_rng(0)
+    n = 3
+    v = _linear_chain_values(n, dim=2)
+    g = FactorGraph()
+    priors = rng.normal(size=(n, 2))
+    g.add(factors_mod.prior_factors("Vec2", np.arange(n), priors,
+                                    noise_mod.isotropic(2, 1.0)))
+    # hard constraint: x1 - x0 = (1, -1)
+    g.add(factors_mod.between_factors(
+        "Vec2", [0], [1], np.array([[1.0, -1.0]]),
+        noise_mod.constrained(np.zeros((1, 2)))))
+    res = opt.gauss_newton(g, v)
+    xs = np.asarray(res.values.arrays["Vec2"]).reshape(-1)
+
+    # oracle: min ||x - priors||^2 s.t. x1 - x0 = d
+    D = 2 * n
+    H = np.eye(D)
+    gvec = priors.reshape(-1)
+    C = np.zeros((2, D))
+    C[0, 0], C[0, 2] = -1.0, 1.0
+    C[1, 1], C[1, 3] = -1.0, 1.0
+    c = np.array([1.0, -1.0])
+    K = np.block([[H, C.T], [C, np.zeros((2, 2))]])
+    sol = np.linalg.solve(K, np.concatenate([gvec, c]))
+    np.testing.assert_allclose(xs, sol[:D], atol=1e-8)
+
+
+def test_nonlinear_equality_exact_se2():
+    # SE2 pose graph: exact equality on x0, soft odometry to x1 — the
+    # constraint holds on the manifold after LM.
+    from gtsam_tpu.geometry import se2
+
+    v = Values({"SE2": jnp.zeros((2, 3))}, {"SE2": np.array([0, 1])})
+    target = np.array([[0.3, -0.2, 0.5]])
+    g = FactorGraph()
+    g.add(nonlinear_equality_factors("SE2", [0], target, exact=True))
+    g.add(factors_mod.between_factors(
+        "SE2", [0], [1], np.array([[1.0, 0.0, 0.1]]),
+        noise_mod.isotropic(3, 0.1)))
+    res = opt.levenberg_marquardt(g, v, gt.LMParams(max_iterations=20))
+    x0 = np.asarray(res.values.arrays["SE2"][0])
+    np.testing.assert_allclose(x0, target[0], atol=1e-7)
+
+
+def test_sparse_solver_rejects_constraints():
+    import pytest
+
+    v = _linear_chain_values(2)
+    g = FactorGraph()
+    g.add(factors_mod.prior_factors(
+        "Vec2", [0], np.zeros((1, 2)),
+        noise_mod.constrained(np.zeros((1, 2)))))
+    g.add(factors_mod.between_factors(
+        "Vec2", [0], [1], np.ones((1, 2)), noise_mod.isotropic(2, 1.0)))
+    with pytest.raises(NotImplementedError):
+        opt.gauss_newton(g, v, solver=opt.SparseSolver())
