@@ -151,3 +151,24 @@ class TestNativeSymbolic:
             tb = np.stack(b).T
             np.testing.assert_array_equal(ta[np.lexsort(ta.T)],
                                           tb[np.lexsort(tb.T)])
+
+
+def test_sparse_export_matches_dense():
+    """SparseEigen analog (gtsam/linear/SparseEigen.h): scipy CSR export of
+    the whitened Jacobian reproduces the dense normal equations."""
+    import numpy as np
+    import gtsam_tpu as gt
+    from gtsam_tpu.io import datasets
+    from gtsam_tpu.linear.sparse_export import sparse_jacobian, sparse_hessian
+
+    graph, initial = datasets.load_2d(
+        datasets.find_example_data("noisyToyGraph.txt"))
+    graph.add(gt.prior_factors("SE2", [0], np.zeros((1, 3)),
+                               gt.noise.sigmas([[1e-3, 1e-3, 1e-4]])))
+    bound = graph.bind(initial)
+    A, b = sparse_jacobian(bound, initial.arrays)
+    Hs, gs = sparse_hessian(bound, initial.arrays)
+    H, g = bound.gn_system(initial.arrays)
+    assert np.allclose(Hs.toarray(), np.asarray(H), atol=1e-10)
+    assert np.allclose(gs, np.asarray(g), atol=1e-10)
+    assert A.shape[1] == bound.layout.total_dim
