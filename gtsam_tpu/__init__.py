@@ -33,6 +33,7 @@ from .optimize.optimizers import (  # noqa: E402,F401
     dogleg,
     gauss_newton,
     levenberg_marquardt,
+    levenberg_marquardt_fused,
     nonlinear_conjugate_gradient,
 )
 

@@ -17,6 +17,7 @@ import dataclasses
 import math
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..graph.graph import FactorGraph
 from ..graph.values import Values, retract_arrays
@@ -233,6 +234,96 @@ def levenberg_marquardt(graph: FactorGraph, initial: Values,
             converged = True
             break
     return OptimizeResult(initial.replace_arrays(arrays), error, it, converged, history)
+
+
+def levenberg_marquardt_fused(graph: FactorGraph, initial: Values,
+                              params: LMParams = None) -> OptimizeResult:
+    """Fully on-device LM: the ENTIRE optimize loop — linearize, lambda
+    search, accept/reject, convergence test — is one jitted program built
+    from `lax.while_loop`s (SURVEY.md §7 hard part (f): keep the lambda
+    search on-device).  One compile, zero host<->device round trips per
+    iteration; semantics match `levenberg_marquardt` (tryLambda policy of
+    LevenbergMarquardtOptimizer.cpp:121-215 with error-decrease acceptance).
+
+    Dense normal-equations path (with the exact-constraint KKT block when the
+    graph has sigma==0 rows).  Prefer this driver when the LM loop itself is
+    the bottleneck (many small iterations, pipelines, vmapped ensembles)."""
+    import jax.lax as lax
+
+    params = params or LMParams()
+    bound = graph.bind(initial)
+    layout = initial.layout()
+    has_con = getattr(bound, "num_constraints", 0) > 0
+    maxit = params.max_iterations
+    dt = jnp.result_type(float)
+
+    def solve_at(H, g, C, c, lam):
+        if has_con:
+            return _kkt_solve(H, g, C, c, lam, params.diagonal_damping,
+                              params.min_diagonal, params.max_diagonal)
+        return _dense_solve(H, g, lam, params.diagonal_damping,
+                            params.min_diagonal, params.max_diagonal)
+
+    def lm_outer(arrays0):
+        error0 = bound.error(arrays0)
+
+        def outer_cond(st):
+            it, _, _, _, done, _, _ = st
+            return (it < maxit) & ~done
+
+        def outer_body(st):
+            it, arrays, error, lam, _, _, hist = st
+            H, g = bound.gn_system(arrays)
+            C, c = (bound.constraint_system(arrays) if has_con
+                    else (None, None))
+
+            def try_cond(ts):
+                lam_t, accepted, _, _ = ts
+                return ~accepted & (lam_t <= params.lambda_upper_bound)
+
+            def try_body(ts):
+                lam_t, _, _, _ = ts
+                dx = solve_at(H, g, C, c, lam_t)
+                new_arrays = retract_arrays(arrays, dx, layout)
+                ne = bound.error(new_arrays)
+                ok = jnp.isfinite(ne) & (ne < error)
+                lam_next = jnp.where(ok, lam_t, lam_t * params.lambda_factor)
+                keep = lambda a, b: jax.tree.map(
+                    lambda x, y: jnp.where(ok, x, y), a, b)
+                return (lam_next, ok, keep(new_arrays, arrays),
+                        jnp.where(ok, ne, error))
+
+            lam_f, accepted, new_arrays, new_error = lax.while_loop(
+                try_cond, try_body,
+                (lam, jnp.asarray(False), arrays, error))
+            lam_out = jnp.where(
+                accepted,
+                jnp.maximum(lam_f / params.lambda_factor,
+                            params.lambda_lower_bound),
+                lam_f)
+            delta = jnp.abs(error - new_error)
+            converged = ((new_error <= params.error_tol)
+                         | (delta <= params.absolute_error_tol)
+                         | (delta <= params.relative_error_tol
+                            * jnp.maximum(error, 1e-300)))
+            hist = hist.at[it + 1].set(new_error)
+            return (it + 1, new_arrays, new_error, lam_out,
+                    ~accepted | converged, accepted & converged, hist)
+
+        hist0 = jnp.full((maxit + 1,), jnp.nan, dtype=dt).at[0].set(error0)
+        st = (jnp.asarray(0), arrays0, error0,
+              jnp.asarray(params.lambda_initial, dtype=dt),
+              jnp.asarray(False), jnp.asarray(False), hist0)
+        it, arrays, error, _, _, conv, hist = lax.while_loop(
+            outer_cond, outer_body, st)
+        return it, arrays, error, conv, hist
+
+    it, arrays, error, conv, hist = jax.jit(lm_outer)(initial.arrays)
+    it = int(it)
+    hist = np.asarray(hist)
+    history = [float(h) for h in hist[:it + 1] if math.isfinite(h)]
+    return OptimizeResult(initial.replace_arrays(arrays), float(error), it,
+                          bool(conv), history)
 
 
 def nonlinear_conjugate_gradient(graph: FactorGraph, initial: Values,

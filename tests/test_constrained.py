@@ -122,3 +122,33 @@ def test_sparse_solver_rejects_constraints():
         "Vec2", [0], [1], np.ones((1, 2)), noise_mod.isotropic(2, 1.0)))
     with pytest.raises(NotImplementedError):
         opt.gauss_newton(g, v, solver=opt.SparseSolver())
+
+
+def test_fused_lm_matches_host_lm():
+    """Fused on-device LM (single lax.while_loop program) reaches the same
+    optimum as the host-loop LM on noisyToyGraph."""
+    from gtsam_tpu.io import datasets
+
+    graph, initial = datasets.load_2d(
+        datasets.find_example_data("noisyToyGraph.txt"))
+    graph.add(factors_mod.prior_factors(
+        "SE2", [0], np.zeros((1, 3)),
+        noise_mod.sigmas([[1e-3, 1e-3, 1e-4]])))
+    p = gt.LMParams(max_iterations=30)
+    res_host = opt.levenberg_marquardt(graph, initial, p)
+    res_fused = opt.levenberg_marquardt_fused(graph, initial, p)
+    assert abs(res_host.error - res_fused.error) < 1e-9
+    assert res_fused.converged
+
+
+def test_fused_lm_with_constraints():
+    v = Values({"SE2": jnp.zeros((2, 3))}, {"SE2": np.array([0, 1])})
+    target = np.array([[0.3, -0.2, 0.5]])
+    g = FactorGraph()
+    g.add(nonlinear_equality_factors("SE2", [0], target, exact=True))
+    g.add(factors_mod.between_factors(
+        "SE2", [0], [1], np.array([[1.0, 0.0, 0.1]]),
+        noise_mod.isotropic(3, 0.1)))
+    res = opt.levenberg_marquardt_fused(g, v, gt.LMParams(max_iterations=20))
+    x0 = np.asarray(res.values.arrays["SE2"][0])
+    np.testing.assert_allclose(x0, target[0], atol=1e-7)
