@@ -100,7 +100,13 @@ class NoiseModel:
     def with_loss(self, loss) -> "NoiseModel":
         if isinstance(loss, str):
             loss = losses_mod.LOSSES[loss]()
-        return NoiseModel(self.kind, self.data, loss)
+        if self.kind == "constrained":
+            # Reference Constrained models are not robustified; error() would
+            # silently ignore the loss on the hard rows, so reject explicitly.
+            raise NotImplementedError(
+                "robust loss on a constrained noise model is not supported"
+            )
+        return NoiseModel(self.kind, self.data, loss, self.mu)
 
 
 # -- constructors ----------------------------------------------------------

@@ -182,7 +182,7 @@ def slice_batch(batch: FactorBatch, rows) -> FactorBatch:
         batch,
         keys=batch.keys[rows],
         measurements=jax.tree.map(lambda a: a[rows], batch.measurements),
-        noise=NoiseModel(noise.kind, data, noise.loss),
+        noise=NoiseModel(noise.kind, data, noise.loss, noise.mu),
     )
 
 

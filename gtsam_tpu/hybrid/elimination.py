@@ -126,6 +126,10 @@ def _noise_log_constant(noise, rdim: int) -> np.ndarray:
     base = -0.5 * rdim * _LOG2PI
     if noise.kind == "unit" or noise.data is None:
         return np.asarray([base])
+    if noise.kind == "constrained":
+        # sigma==0 rows have no finite Gaussian normalization constant.
+        raise NotImplementedError(
+            "hybrid elimination does not support constrained (sigma==0) noise")
     data = np.asarray(noise.data)
     if noise.kind == "diagonal":
         return np.sum(np.log(data), axis=-1) + base

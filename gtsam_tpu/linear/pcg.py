@@ -23,6 +23,12 @@ class PCGSolver:
         self.tol = tol
 
     def bind(self, bound: BoundGraph):
+        if getattr(bound, "num_constraints", 0) > 0:
+            # Hard sigma==0 rows whiten to weight 0 — PCG would silently drop
+            # the constraint.  Only the dense KKT path supports them.
+            raise NotImplementedError(
+                "PCG solvers do not support constrained (sigma==0) noise; "
+                "use the dense solver's KKT path")
         self._bound = bound
         layout = bound.layout
         self._layout = layout

@@ -26,6 +26,13 @@ def sparse_jacobian(bound, arrays):
     for (wJ, bvec), bt, st in zip(lin, bound.graph.batches, bound.structures):
         n, rdim = bvec.shape
         dims = bt.dims()
+        if bt.sign < 0:
+            # Negative information (anti-factors) cannot be represented as
+            # real Jacobian rows: A^T A would flip the sign back to +J'J.
+            raise NotImplementedError(
+                "sparse_jacobian cannot represent anti-factor batches "
+                f"(batch {bt.name!r} has sign {bt.sign}); negative "
+                "information has no real square root")
         sgn = np.sqrt(abs(bt.sign)) * np.sign(bt.sign)
         frows = row0 + np.arange(n * rdim).reshape(n, rdim)
         for i in range(bt.arity):

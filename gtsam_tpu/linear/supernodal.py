@@ -1,0 +1,436 @@
+"""Supernodal sparse block Cholesky: batched dense fronts per tree level.
+
+TPU-native replacement for the reference's multifrontal elimination
+(GaussianJunctionTree -> per-clique EliminatePreferCholesky under a TBB task
+tree, gtsam/inference/ClusterTree-inst.h:285,
+gtsam/base/treeTraversal/parallelTraversalTasks.h:43).  The symbolic phase
+(inference/supernodes.py) amalgamates columns into supernodes and levels the
+assembly tree; here each level runs as a handful of fixed-shape batched ops:
+
+  gather fronts -> batched Cholesky -> batched triangular panel solve ->
+  one batched Schur matmul (MXU) -> sorted segment-sum scatter of updates
+
+so a sphere2500-class factorization is ~8 levels x ~7 ops instead of
+hundreds of tiny per-variable steps.  All scatters use pre-sorted unique
+targets (duplicate-index scatters serialize on TPU).
+"""
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import manifolds
+from ..graph.graph import BoundGraph
+from ..inference import ordering as ordering_mod
+from ..inference import supernodes as sn_mod
+from .exceptions import IndeterminantLinearSystemError
+
+
+@dataclasses.dataclass
+class _LevelPlan:
+    snodes: np.ndarray
+    S: int
+    W: int                      # max snode width (blocks) this level
+    R: int                      # max row-structure size (blocks)
+    diag_ids: np.ndarray        # (S, W, W) block ids (sentinel B)
+    diag_flip: np.ndarray       # (S, W, W) bool
+    diag_pad: np.ndarray        # (S, W*d) 1.0 where padded col slot
+    valid_diag: np.ndarray      # (S, W*d) bool: true (unpadded) pivots
+    col_vars: np.ndarray        # (S, W) permuted col ids (sentinel n)
+    panel_ids: Optional[np.ndarray]   # (S, R, W) block ids (sentinel B)
+    row_vars: Optional[np.ndarray]    # (S, R) permuted row ids (sentinel n)
+    diag_sc_src: np.ndarray     # scatter L_diag: flat src into (S*W*W)
+    diag_sc_tgt: np.ndarray
+    panel_sc_src: Optional[np.ndarray]
+    panel_sc_tgt: Optional[np.ndarray]
+    schur_src: Optional[np.ndarray]   # sorted by target: flat into (S*R*R)
+    schur_seg: Optional[np.ndarray]
+    schur_tgt: Optional[np.ndarray]   # unique target block ids
+    fwd_src: Optional[np.ndarray]     # sorted flat into (S*R)
+    fwd_seg: Optional[np.ndarray]
+    fwd_tgt: Optional[np.ndarray]     # unique row var ids
+    x_sc_src: np.ndarray        # flat into (S*W)
+    x_sc_tgt: np.ndarray        # col var ids (unique by construction)
+
+
+def _sorted_segments(tgt: np.ndarray):
+    """Host: sort targets, return (order, segment_ids, unique_targets)."""
+    order = np.argsort(tgt, kind="stable")
+    st = tgt[order]
+    if len(st) == 0:
+        return order, np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32)
+    new = np.concatenate([[True], st[1:] != st[:-1]])
+    seg = np.cumsum(new) - 1
+    return (order.astype(np.int32), seg.astype(np.int32),
+            st[new].astype(np.int32))
+
+
+class SupernodalCholeskySolver:
+    """Drop-in sparse solver: system / factorize / solve_factored / solve.
+
+    Built once per (graph structure, values structure); all methods jit-safe.
+    """
+
+    def __init__(self, bound: BoundGraph, order: str = "nd",
+                 relax_tau: float = 0.3, force_width: int = 16,
+                 max_width: int = 64):
+        layout = bound.layout
+        self.layout = layout
+        self.var_dims = []
+        self.var_offsets = []
+        var_id = {}
+        for t in layout.type_order:
+            d = manifolds.get(t).dim
+            for r in range(len(layout.offsets[t])):
+                var_id[(t, r)] = len(self.var_dims)
+                self.var_dims.append(d)
+                self.var_offsets.append(int(layout.offsets[t][r]))
+        self.nvars = len(self.var_dims)
+        self.var_dims = np.asarray(self.var_dims)
+        self.var_offsets = np.asarray(self.var_offsets)
+        self.d = int(self.var_dims.max()) if self.nvars else 0
+
+        self.batch_var_ids = []
+        factor_keys = []
+        for b, st in zip(bound.graph.batches, bound.structures):
+            ids = np.stack([
+                np.asarray([var_id[(t, int(r))] for r in st.rows[s]])
+                for s, t in enumerate(b.var_types)], axis=1)
+            self.batch_var_ids.append(ids)
+            factor_keys.append(ids)
+
+        adj = ordering_mod.adjacency_from_factors(factor_keys, self.nvars)
+        if order == "natural":
+            perm = ordering_mod.natural(self.nvars)
+        elif order == "amd":
+            perm = ordering_mod.minimum_degree(adj)
+        else:
+            perm = ordering_mod.nested_dissection(adj)
+        sym = sn_mod.analyze_supernodal(adj, perm, relax_tau=relax_tau,
+                                        force_width=force_width,
+                                        max_width=max_width)
+        self.sym = sym
+        n, d = self.nvars, self.d
+        B = sym.nnz_blocks
+        self.B = B
+
+        # -- per-level plans -------------------------------------------------
+        self.level_plans: List[_LevelPlan] = []
+        for sids in sym.levels:
+            S = len(sids)
+            widths = sym.snode_width[sids]
+            rsizes = np.asarray([len(sym.snode_rows[s]) for s in sids])
+            W = int(widths.max())
+            R = int(rsizes.max()) if len(rsizes) else 0
+            diag_ids = np.full((S, W, W), B, dtype=np.int32)
+            diag_flip = np.zeros((S, W, W), dtype=bool)
+            col_vars = np.full((S, W), n, dtype=np.int32)
+            dsc_src, dsc_tgt = [], []
+            xs_src, xs_tgt = [], []
+            for si, s in enumerate(sids):
+                c0, w = int(sym.snode_start[s]), int(sym.snode_width[s])
+                col_vars[si, :w] = np.arange(c0, c0 + w)
+                for a in range(w):
+                    xs_src.append(si * W + a)
+                    xs_tgt.append(c0 + a)
+                    for b in range(w):
+                        if a >= b:
+                            diag_ids[si, a, b] = sym.block_of[(c0 + a, c0 + b)]
+                            dsc_src.append(si * W * W + a * W + b)
+                            dsc_tgt.append(sym.block_of[(c0 + a, c0 + b)])
+                        else:
+                            diag_ids[si, a, b] = sym.block_of[(c0 + b, c0 + a)]
+                            diag_flip[si, a, b] = True
+            pad_cols = (np.arange(W)[None, :] >= widths[:, None])  # (S, W)
+            diag_pad = np.repeat(pad_cols, d, axis=1).astype(np.float64)
+            # valid pivots: unpadded col slot AND true manifold dim
+            vd = np.zeros((S, W * d), dtype=bool)
+            for si, s in enumerate(sids):
+                c0, w = int(sym.snode_start[s]), int(sym.snode_width[s])
+                for a in range(w):
+                    dim = self.var_dims[sym.perm[c0 + a]]
+                    vd[si, a * d:a * d + dim] = True
+            panel_ids = row_vars = None
+            psc_src = psc_tgt = None
+            schur = fwd = None
+            if R > 0:
+                panel_ids = np.full((S, R, W), B, dtype=np.int32)
+                row_vars = np.full((S, R), n, dtype=np.int32)
+                psc_src, psc_tgt = [], []
+                sc_src, sc_tgt = [], []
+                fw_src, fw_tgt = [], []
+                for si, s in enumerate(sids):
+                    c0, w = int(sym.snode_start[s]), int(sym.snode_width[s])
+                    rows = sym.snode_rows[s]
+                    row_vars[si, :len(rows)] = rows
+                    for a, ra in enumerate(rows):
+                        fw_src.append(si * R + a)
+                        fw_tgt.append(int(ra))
+                        for b in range(w):
+                            bid = sym.block_of[(int(ra), c0 + b)]
+                            panel_ids[si, a, b] = bid
+                            psc_src.append(si * R * W + a * W + b)
+                            psc_tgt.append(bid)
+                        for b in range(a + 1):
+                            sc_src.append(si * R * R + a * R + b)
+                            sc_tgt.append(sym.block_of[(int(ra),
+                                                        int(rows[b]))])
+                sc_src = np.asarray(sc_src, dtype=np.int32)
+                sc_tgt = np.asarray(sc_tgt, dtype=np.int32)
+                so, seg, uniq = _sorted_segments(sc_tgt)
+                schur = (sc_src[so], seg, uniq)
+                fw_src = np.asarray(fw_src, dtype=np.int32)
+                fw_tgt = np.asarray(fw_tgt, dtype=np.int32)
+                fo, fseg, funiq = _sorted_segments(fw_tgt)
+                fwd = (fw_src[fo], fseg, funiq)
+                psc_src = np.asarray(psc_src, dtype=np.int32)
+                psc_tgt = np.asarray(psc_tgt, dtype=np.int32)
+            self.level_plans.append(_LevelPlan(
+                snodes=sids, S=S, W=W, R=R,
+                diag_ids=diag_ids, diag_flip=diag_flip, diag_pad=diag_pad,
+                valid_diag=vd, col_vars=col_vars,
+                panel_ids=panel_ids, row_vars=row_vars,
+                diag_sc_src=np.asarray(dsc_src, dtype=np.int32),
+                diag_sc_tgt=np.asarray(dsc_tgt, dtype=np.int32),
+                panel_sc_src=psc_src, panel_sc_tgt=psc_tgt,
+                schur_src=None if schur is None else schur[0],
+                schur_seg=None if schur is None else schur[1],
+                schur_tgt=None if schur is None else schur[2],
+                fwd_src=None if fwd is None else fwd[0],
+                fwd_seg=None if fwd is None else fwd[1],
+                fwd_tgt=None if fwd is None else fwd[2],
+                x_sc_src=np.asarray(xs_src, dtype=np.int32),
+                x_sc_tgt=np.asarray(xs_tgt, dtype=np.int32),
+            ))
+
+        # -- assembly plan: ONE sorted segment-sum over all contributions ----
+        # Per (batch, slot-pair): target block ids; concatenated and sorted so
+        # the whole H assembly is one segment_sum + one unique-index scatter.
+        asm_tgt, self._asm_plan = [], []
+        pos = 0
+        for bt, ids in zip(bound.graph.batches, self.batch_var_ids):
+            arity = ids.shape[1]
+            for s1 in range(arity):
+                for s2 in range(s1, arity):
+                    ni = sym.inv_perm[ids[:, s1]]
+                    nj = sym.inv_perm[ids[:, s2]]
+                    flip = ni < nj
+                    hi = np.maximum(ni, nj)
+                    lo = np.minimum(ni, nj)
+                    bids = np.asarray(
+                        [sym.block_of[(int(h), int(l))]
+                         for h, l in zip(hi, lo)], dtype=np.int32)
+                    self._asm_plan.append((s1, s2, flip, pos))
+                    asm_tgt.append(bids)
+                    pos += len(bids)
+        if asm_tgt:
+            asm_tgt = np.concatenate(asm_tgt)
+            ao, aseg, auniq = _sorted_segments(asm_tgt)
+            self._asm_order, self._asm_seg, self._asm_uniq = ao, aseg, auniq
+        else:
+            self._asm_order = self._asm_seg = self._asm_uniq = (
+                np.zeros(0, dtype=np.int32))
+        # gradient assembly: same trick over (batch, slot) -> var targets
+        g_tgt = []
+        for bt, ids in zip(bound.graph.batches, self.batch_var_ids):
+            for s in range(ids.shape[1]):
+                g_tgt.append(sym.inv_perm[ids[:, s]].astype(np.int32))
+        if g_tgt:
+            g_tgt = np.concatenate(g_tgt)
+            go, gseg, guniq = _sorted_segments(g_tgt)
+            self._g_order, self._g_seg, self._g_uniq = go, gseg, guniq
+        else:
+            self._g_order = self._g_seg = self._g_uniq = (
+                np.zeros(0, dtype=np.int32))
+
+        # identity on padding diagonal (true dims < d), by NEW col id
+        self.pad_diag = np.zeros((self.nvars, self.d))
+        for v in range(self.nvars):
+            nv = sym.inv_perm[v]
+            self.pad_diag[nv, self.var_dims[v]:] = 1.0
+        self.bound = bound
+
+    # -- system assembly (jit-safe) -----------------------------------------
+
+    def system(self, arrays):
+        """Linearize + assemble block-sparse H and padded gradient g.
+
+        Returns (blocks (B+1, d, d) — last block is the zero sentinel for
+        padded gathers — and g (nvars, d))."""
+        d = self.d
+        dt = jnp.result_type(float)
+        sym = self.sym
+        lin = self.bound.linearize(arrays)
+        h_contrib, g_contrib = [], []
+        for (wJ, bvec), bt in zip(lin, self.bound.graph.batches):
+            dims = bt.dims()
+            for s in range(bt.arity):
+                gi = bt.sign * jnp.einsum("nrd,nr->nd", wJ[s], bvec)
+                g_contrib.append(jnp.pad(gi, ((0, 0), (0, d - dims[s]))))
+            for s1 in range(bt.arity):
+                for s2 in range(s1, bt.arity):
+                    Hij = bt.sign * jnp.einsum("nri,nrj->nij",
+                                               wJ[s1], wJ[s2])
+                    Hij = jnp.pad(Hij, ((0, 0), (0, d - dims[s1]),
+                                        (0, d - dims[s2])))
+                    h_contrib.append(Hij)
+        # flips per pair were computed host-side in plan order
+        h_list = []
+        for (s1, s2, flip, pos), Hij in zip(self._asm_plan, h_contrib):
+            Hij = jnp.where(jnp.asarray(flip)[:, None, None],
+                            jnp.swapaxes(Hij, 1, 2), Hij)
+            h_list.append(Hij)
+        blocks = jnp.zeros((self.B + 1, d, d), dtype=dt)
+        if h_list:
+            allH = jnp.concatenate(h_list, axis=0)[self._asm_order]
+            segH = jax.ops.segment_sum(allH, self._asm_seg,
+                                       num_segments=len(self._asm_uniq))
+            blocks = blocks.at[self._asm_uniq].add(segH)
+        g = jnp.zeros((self.nvars, d), dtype=dt)
+        if g_contrib:
+            allG = jnp.concatenate(g_contrib, axis=0)[self._g_order]
+            segG = jax.ops.segment_sum(allG, self._g_seg,
+                                       num_segments=len(self._g_uniq))
+            g = g.at[self._g_uniq].add(segG)
+        pad = jnp.asarray(self.pad_diag, dtype=dt)
+        eye_pad = jax.vmap(jnp.diag)(pad)
+        blocks = blocks.at[sym.diag_block_by_col].add(eye_pad)
+        return blocks, g
+
+    # -- numeric factorization (jit-safe) ------------------------------------
+
+    def factorize(self, blocks, lam=0.0, diagonal_damping: bool = False,
+                  min_diag: float = 1e-6, max_diag: float = 1e32):
+        """blocks (B+1,d,d) -> (blocks L, per-level dense factors, ok, badcol).
+
+        ok is a scalar bool (all pivots finite and positive); badcol is the
+        first offending permuted column id (or -1) for failure reporting —
+        the reference throws IndeterminantLinearSystemException from
+        splitConditional (gtsam/linear/JacobianFactor.cpp:838)."""
+        sym = self.sym
+        d = self.d
+        dt = blocks.dtype
+        true_dims = 1.0 - jnp.asarray(self.pad_diag, dtype=dt)  # (n, d)
+        if diagonal_damping:
+            dvec = jnp.diagonal(blocks[sym.diag_block_by_col],
+                                axis1=-2, axis2=-1)  # (n, d)
+            dvec = jnp.clip(dvec, min_diag, max_diag)
+            damp = lam * dvec * true_dims
+        else:
+            damp = lam * true_dims
+        blocks = blocks.at[sym.diag_block_by_col].add(jax.vmap(jnp.diag)(damp))
+        Ldiag_l, Lpanel_l = [], []
+        ok = jnp.asarray(True)
+        badcol = jnp.asarray(-1, dtype=jnp.int32)
+        for lp in self.level_plans:
+            S, W, R = lp.S, lp.W, lp.R
+            G = blocks[lp.diag_ids]                       # (S,W,W,d,d)
+            G = jnp.where(jnp.asarray(lp.diag_flip)[..., None, None],
+                          jnp.swapaxes(G, -1, -2), G)
+            front = G.transpose(0, 1, 3, 2, 4).reshape(S, W * d, W * d)
+            front = front + jax.vmap(jnp.diag)(
+                jnp.asarray(lp.diag_pad, dtype=dt))
+            L = jnp.linalg.cholesky(front)
+            piv = jnp.diagonal(L, axis1=-2, axis2=-1)     # (S, W*d)
+            valid = jnp.asarray(lp.valid_diag)
+            bad = valid & (~jnp.isfinite(piv) | (piv <= 0))
+            lvl_ok = ~jnp.any(bad)
+            # first bad pivot -> its column id
+            flat_bad = bad.reshape(-1)
+            idx = jnp.argmax(flat_bad)
+            col_of_piv = jnp.repeat(jnp.asarray(lp.col_vars, dtype=jnp.int32)
+                                    .reshape(-1), d)
+            lvl_bad = jnp.where(jnp.any(flat_bad), col_of_piv[idx],
+                                jnp.asarray(-1, jnp.int32))
+            badcol = jnp.where(ok & ~lvl_ok, lvl_bad, badcol)
+            ok = ok & lvl_ok
+            # zero out rows/cols of padded slots so scattered blocks stay clean
+            L = jnp.where(jnp.isfinite(L), L, 0.0)
+            Ldiag_l.append(L)
+            Lb = L.reshape(S, W, d, W, d).transpose(0, 1, 3, 2, 4)
+            Lb = Lb.reshape(S * W * W, d, d)
+            blocks = blocks.at[lp.diag_sc_tgt].set(Lb[lp.diag_sc_src])
+            if R == 0:
+                Lpanel_l.append(None)
+                continue
+            P = blocks[lp.panel_ids]                      # (S,R,W,d,d)
+            A_panel = P.transpose(0, 1, 3, 2, 4).reshape(S, R * d, W * d)
+            Xt = jax.lax.linalg.triangular_solve(
+                L, jnp.swapaxes(A_panel, 1, 2), left_side=True, lower=True)
+            Lp = jnp.swapaxes(Xt, 1, 2)                   # A L^{-T}
+            Lp = jnp.where(jnp.isfinite(Lp), Lp, 0.0)
+            Lpanel_l.append(Lp)
+            Lpb = Lp.reshape(S, R, d, W, d).transpose(0, 1, 3, 2, 4)
+            Lpb = Lpb.reshape(S * R * W, d, d)
+            blocks = blocks.at[lp.panel_sc_tgt].set(Lpb[lp.panel_sc_src])
+            U = jnp.einsum("sij,skj->sik", Lp, Lp)        # (S, R*d, R*d) MXU
+            Ub = U.reshape(S, R, d, R, d).transpose(0, 1, 3, 2, 4)
+            Ub = Ub.reshape(S * R * R, d, d)
+            seg = jax.ops.segment_sum(Ub[lp.schur_src], lp.schur_seg,
+                                      num_segments=len(lp.schur_tgt))
+            blocks = blocks.at[lp.schur_tgt].add(-seg)
+        return (blocks, Ldiag_l, Lpanel_l, ok, badcol)
+
+    def solve_factored(self, factored, g):
+        """Forward + backward substitution; returns flat delta (canonical)."""
+        _, Ldiag_l, Lpanel_l, _, _ = factored
+        n, d = self.nvars, self.d
+        dt = Ldiag_l[0].dtype if Ldiag_l else jnp.result_type(float)
+        g_ext = jnp.concatenate([g.astype(dt), jnp.zeros((1, d), dtype=dt)])
+        acc = jnp.zeros((n + 1, d), dtype=dt)
+        ys = []
+        for lp, L, P in zip(self.level_plans, Ldiag_l, Lpanel_l):
+            S, W, R = lp.S, lp.W, lp.R
+            rhs = (g_ext - acc)[lp.col_vars].reshape(S, W * d)
+            y = jax.lax.linalg.triangular_solve(
+                L, rhs[..., None], left_side=True, lower=True)[..., 0]
+            ys.append(y)
+            if P is not None:
+                c = jnp.einsum("sij,sj->si", P, y)         # (S, R*d)
+                cb = c.reshape(S * R, d)
+                seg = jax.ops.segment_sum(cb[lp.fwd_src], lp.fwd_seg,
+                                          num_segments=len(lp.fwd_tgt))
+                acc = acc.at[lp.fwd_tgt].add(seg)
+        x_ext = jnp.zeros((n + 1, d), dtype=dt)
+        for lp, L, P, y in zip(reversed(self.level_plans), reversed(Ldiag_l),
+                               reversed(Lpanel_l), reversed(ys)):
+            S, W, R = lp.S, lp.W, lp.R
+            rhs = y
+            if P is not None:
+                xr = x_ext[lp.row_vars].reshape(S, R * d)
+                rhs = rhs - jnp.einsum("sij,si->sj", P, xr)
+            x = jax.lax.linalg.triangular_solve(
+                L, rhs[..., None], left_side=True, lower=True,
+                transpose_a=True)[..., 0]
+            xb = x.reshape(S * W, d)
+            x_ext = x_ext.at[lp.x_sc_tgt].set(xb[lp.x_sc_src])
+        x = x_ext[:n]
+        delta = jnp.zeros(self.layout.total_dim, dtype=dt)
+        x_old = x[self.sym.inv_perm]
+        for dim in np.unique(self.var_dims):
+            sel = np.where(self.var_dims == dim)[0]
+            offs = self.var_offsets[sel]
+            idx = offs[:, None] + np.arange(dim)[None, :]
+            delta = delta.at[idx.reshape(-1)].set(
+                x_old[sel, :dim].reshape(-1))
+        return delta
+
+    def solve(self, arrays, lam=0.0, diagonal_damping: bool = False):
+        blocks, g = self.system(arrays)
+        factored = self.factorize(blocks, lam, diagonal_damping)
+        return self.solve_factored(factored, g)
+
+    # -- failure surfacing (host) --------------------------------------------
+
+    def check_system(self, arrays, lam=0.0):
+        """Factorize and raise IndeterminantLinearSystemError on bad pivots
+        (the reference's splitConditional throw, JacobianFactor.cpp:838)."""
+        blocks, _ = self.system(arrays)
+        _, _, _, ok, badcol = self.factorize(blocks, lam)
+        if not bool(ok):
+            c = int(badcol)
+            orig = int(self.sym.perm[c]) if c >= 0 else -1
+            raise IndeterminantLinearSystemError(orig)

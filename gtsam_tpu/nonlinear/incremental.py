@@ -104,7 +104,11 @@ class IncrementalSmoother:
         n = batch.num_factors
         if nz.kind == "unit":
             return jnp.broadcast_to(jnp.eye(r), (n, r, r))
-        if nz.kind == "diagonal":
+        if nz.kind in ("diagonal", "constrained"):
+            # 'constrained' data is (N, rdim) inverse sigmas with 0 on hard
+            # rows — same diagonal-whitening semantics as the soft rows (the
+            # incremental runtime has no KKT path; hard rows are dropped,
+            # matching SparseSolver's soft-row treatment).
             d = jnp.broadcast_to(nz.data, (n, r))
             return jax.vmap(jnp.diag)(d)
         return jnp.broadcast_to(nz.data, (n, r, r))

@@ -124,19 +124,30 @@ class DenseSolver:
 
 
 class SparseSolver:
-    """Level-scheduled sparse block Cholesky (linear/sparse.py)."""
+    """Sparse block Cholesky.
 
-    def __init__(self, order: str = "amd"):
+    method='supernodal' (default): amalgamated-clique level-scheduled
+    factorization (linear/supernodal.py) — batched dense fronts per assembly
+    tree level, full diagonal-damping support, pivot failure detection.
+    method='levels': the per-variable level schedule (linear/sparse.py).
+    """
+
+    def __init__(self, order: str = "nd", method: str = "supernodal"):
         self._order = order
+        self._method = method
 
     def bind(self, bound):
-        from ..linear.sparse import SparseCholeskySolver
         if getattr(bound, "num_constraints", 0):
             raise NotImplementedError(
                 "exact constrained (sigma == 0) rows require DenseSolver; "
                 "use noise.sigmas (large-precision approximation) with the "
                 "sparse solver")
-        self._s = SparseCholeskySolver(bound, order=self._order)
+        if self._method == "supernodal":
+            from ..linear.supernodal import SupernodalCholeskySolver
+            self._s = SupernodalCholeskySolver(bound, order=self._order)
+        else:
+            from ..linear.sparse import SparseCholeskySolver
+            self._s = SparseCholeskySolver(bound, order=self._order)
         return self
 
     def system(self, arrays):
@@ -144,15 +155,34 @@ class SparseSolver:
 
     def solve(self, system, lam, diagonal_damping):
         blocks, g = system
-        # diagonal_damping not yet supported in sparse path; lam*I only
-        factored = self._s.factorize(blocks, lam)
+        if self._method == "supernodal":
+            factored = self._s.factorize(blocks, lam, diagonal_damping)
+        else:
+            # per-variable path: lam*I damping only
+            factored = self._s.factorize(blocks, lam)
         return self._s.solve_factored(factored, g)
+
+    def check_system(self, arrays, lam=0.0):
+        """Raise IndeterminantLinearSystemError on bad pivots (supernodal)."""
+        if self._method == "supernodal":
+            self._s.check_system(arrays, lam)
+
+
+def _auto_solver(bound):
+    """Pick DenseSolver for small systems / constrained graphs, the
+    supernodal sparse solver for large ones (reference default is
+    MULTIFRONTAL_CHOLESKY, NonlinearOptimizerParams)."""
+    if getattr(bound, "num_constraints", 0):
+        return DenseSolver()
+    if bound.layout.total_dim <= 1024:
+        return DenseSolver()
+    return SparseSolver()
 
 
 def _make_step_fns(graph: FactorGraph, values: Values, solver=None):
     bound = graph.bind(values)
     layout = values.layout()
-    solver = (solver or DenseSolver()).bind(bound)
+    solver = (solver or _auto_solver(bound)).bind(bound)
 
     @jax.jit
     def error_fn(arrays):
@@ -171,13 +201,14 @@ def _make_step_fns(graph: FactorGraph, values: Values, solver=None):
         new_error = bound.error(new_arrays)
         return dx, new_arrays, new_error
 
-    return bound, error_fn, system_fn, try_step
+    return bound, error_fn, system_fn, try_step, solver
 
 
 def gauss_newton(graph: FactorGraph, initial: Values,
                  params: OptimizerParams = None, solver=None) -> OptimizeResult:
     params = params or OptimizerParams()
-    bound, error_fn, system_fn, try_step = _make_step_fns(graph, initial, solver)
+    bound, error_fn, system_fn, try_step, solver_obj = _make_step_fns(
+        graph, initial, solver)
     arrays = initial.arrays
     error = float(error_fn(arrays))
     history = [error]
@@ -190,6 +221,9 @@ def gauss_newton(graph: FactorGraph, initial: Values,
         if params.verbose:
             print(f"GN iter {it}: error {error:.6g} -> {new_error:.6g}")
         if not math.isfinite(new_error):
+            # localize the failure (IndeterminantLinearSystemException analog)
+            if hasattr(solver_obj, "check_system"):
+                solver_obj.check_system(arrays, lam=0.0)
             break
         arrays, prev, error = new_arrays, error, new_error
         history.append(error)
@@ -202,7 +236,8 @@ def gauss_newton(graph: FactorGraph, initial: Values,
 def levenberg_marquardt(graph: FactorGraph, initial: Values,
                         params: LMParams = None, solver=None) -> OptimizeResult:
     params = params or LMParams()
-    bound, error_fn, system_fn, try_step = _make_step_fns(graph, initial, solver)
+    bound, error_fn, system_fn, try_step, _solver_obj = _make_step_fns(
+        graph, initial, solver)
     arrays = initial.arrays
     error = float(error_fn(arrays))
     history = [error]
@@ -237,7 +272,8 @@ def levenberg_marquardt(graph: FactorGraph, initial: Values,
 
 
 def levenberg_marquardt_fused(graph: FactorGraph, initial: Values,
-                              params: LMParams = None) -> OptimizeResult:
+                              params: LMParams = None,
+                              solver=None) -> OptimizeResult:
     """Fully on-device LM: the ENTIRE optimize loop — linearize, lambda
     search, accept/reject, convergence test — is one jitted program built
     from `lax.while_loop`s (SURVEY.md §7 hard part (f): keep the lambda
@@ -245,24 +281,19 @@ def levenberg_marquardt_fused(graph: FactorGraph, initial: Values,
     iteration; semantics match `levenberg_marquardt` (tryLambda policy of
     LevenbergMarquardtOptimizer.cpp:121-215 with error-decrease acceptance).
 
-    Dense normal-equations path (with the exact-constraint KKT block when the
-    graph has sigma==0 rows).  Prefer this driver when the LM loop itself is
-    the bottleneck (many small iterations, pipelines, vmapped ensembles)."""
+    `solver` defaults to auto-selection: dense normal equations (with the
+    exact-constraint KKT block when the graph has sigma==0 rows) for small
+    systems, the supernodal sparse solver for large ones — the whole sparse
+    level schedule is jit-safe, so sphere2500-class pose graphs run the full
+    LM loop as one XLA program."""
     import jax.lax as lax
 
     params = params or LMParams()
     bound = graph.bind(initial)
     layout = initial.layout()
-    has_con = getattr(bound, "num_constraints", 0) > 0
+    solver = (solver or _auto_solver(bound)).bind(bound)
     maxit = params.max_iterations
     dt = jnp.result_type(float)
-
-    def solve_at(H, g, C, c, lam):
-        if has_con:
-            return _kkt_solve(H, g, C, c, lam, params.diagonal_damping,
-                              params.min_diagonal, params.max_diagonal)
-        return _dense_solve(H, g, lam, params.diagonal_damping,
-                            params.min_diagonal, params.max_diagonal)
 
     def lm_outer(arrays0):
         error0 = bound.error(arrays0)
@@ -273,9 +304,7 @@ def levenberg_marquardt_fused(graph: FactorGraph, initial: Values,
 
         def outer_body(st):
             it, arrays, error, lam, _, _, hist = st
-            H, g = bound.gn_system(arrays)
-            C, c = (bound.constraint_system(arrays) if has_con
-                    else (None, None))
+            system = solver.system(arrays)
 
             def try_cond(ts):
                 lam_t, accepted, _, _ = ts
@@ -283,7 +312,7 @@ def levenberg_marquardt_fused(graph: FactorGraph, initial: Values,
 
             def try_body(ts):
                 lam_t, _, _, _ = ts
-                dx = solve_at(H, g, C, c, lam_t)
+                dx = solver.solve(system, lam_t, params.diagonal_damping)
                 new_arrays = retract_arrays(arrays, dx, layout)
                 ne = bound.error(new_arrays)
                 ok = jnp.isfinite(ne) & (ne < error)
@@ -407,7 +436,8 @@ def dogleg(graph: FactorGraph, initial: Values,
     params = params or DoglegParams()
     if solver is not None and not isinstance(solver, DenseSolver):
         raise NotImplementedError("dogleg currently requires the dense solver")
-    bound, error_fn, system_fn, try_step = _make_step_fns(graph, initial, solver)
+    bound, error_fn, system_fn, try_step, _solver_obj = _make_step_fns(
+        graph, initial, solver or DenseSolver())
     if getattr(bound, "num_constraints", 0):
         raise NotImplementedError(
             "dogleg does not support exact constrained noise; use LM/GN")
