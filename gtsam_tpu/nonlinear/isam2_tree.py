@@ -1,0 +1,1154 @@
+"""ISAM2Tree: true incremental smoothing on a resident supernodal Bayes tree.
+
+The reference ISAM2 (gtsam/nonlinear/ISAM2.cpp:116-249 recalculate/
+recalculateIncremental, inference/BayesTree.h:223-229 removePath/removeTop,
+ISAM2Clique.h:90,172 wildfire back-substitution, ISAM2.h:192-199
+marginalizeLeaves) keeps the factored system resident and, per update, edits
+only the affected top of the tree.  This engine is the TPU-native rebuild:
+
+  host (symbolic, incremental):
+    - persistent supernode forest over stable variable ids; elimination
+      positions from a monotone counter (re-eliminated vars get fresh, larger
+      positions, so unaffected columns stay valid — the removeTop invariant)
+    - per update: affected = vars of new factors + vars of factors touching
+      relinearized vars, closed under assembly-tree ancestors; the affected
+      supernodes are re-analyzed locally (analyze_supernodal on the affected
+      subgraph + orphan-separator cliques) and spliced back over the orphans
+
+  device (numeric, multifrontal extend-add):
+    - per-supernode CACHED Schur complements U and forward-substituted rhs u
+      (the ISAM2Clique cachedFactor analog): re-eliminating the top gathers
+      the orphans' cached U instead of revisiting their subtrees
+    - refactorization of the affected top runs level-batched with runtime
+      index arrays, so ONE compiled program serves every update with the same
+      capacity signature (capacities grow pow2 -> recompiles are O(log n))
+    - forward solve state (y) is incremental: only affected columns recompute;
+      backward substitution is level-batched over the whole tree (a handful of
+      fused batched ops — the TPU answer to wildfire's serial traversal)
+
+Exact-equivalence oracle: delta == the batch Gauss-Newton step of the same
+factors at the same linearization points (tests/test_isam2_tree.py).
+"""
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import factors as factors_mod
+from ..graph import manifolds
+from ..graph.values import Values
+from ..inference import ordering as ordering_mod
+from ..inference import supernodes as sn_mod
+
+
+def _pow2(n, lo=4):
+    c = lo
+    while c < n:
+        c *= 2
+    return c
+
+
+def _round_up(n, q):
+    return ((n + q - 1) // q) * q if n else q
+
+
+_W_BUCKETS = (4, 8, 16, 24, 32, 48, 64, 96, 128)
+_R_BUCKETS = (0, 8, 16, 32, 64, 96, 128, 192, 256)
+
+
+def _bucket(n, buckets):
+    for b in buckets:
+        if n <= b:
+            return b
+    return _pow2(n, buckets[-1])
+
+
+# ---------------------------------------------------------------------------
+# host bookkeeping
+
+
+@dataclasses.dataclass
+class _SNode:
+    sid: int
+    cols: List[int]                 # var ids, elimination order
+    rows: List[int]                 # separator var ids, ascending position
+    parent: int                     # sid or -1
+    children: set
+    level: int                      # height from leaves
+    u_slots: Optional[np.ndarray]   # (r*(r+1)/2,) Ubuf slots, (a>=b) pair order
+    urhs_slots: Optional[np.ndarray]  # (r,) Urhs slots
+    frozen: bool = False
+
+
+@dataclasses.dataclass
+class _FactorStore:
+    batch: factors_mod.FactorBatch  # template (residual_fn, var_types, rdim)
+    cap: int
+    n: int
+    keys: np.ndarray                # (cap, arity) var ids
+    meas: object
+    R: jnp.ndarray                  # (cap, rdim, rdim) whitening (0 = inactive)
+
+
+class _SlotPool:
+    """Grow-only slot allocator with free list (block / U-buffer slots)."""
+
+    def __init__(self):
+        self.top = 0
+        self.free: List[int] = []
+
+    def alloc(self, k: int) -> np.ndarray:
+        out = []
+        while self.free and len(out) < k:
+            out.append(self.free.pop())
+        need = k - len(out)
+        if need:
+            out.extend(range(self.top, self.top + need))
+            self.top += need
+        return np.asarray(out, dtype=np.int32)
+
+    def release(self, slots):
+        self.free.extend(int(s) for s in np.asarray(slots).reshape(-1))
+
+
+# ---------------------------------------------------------------------------
+
+
+class ISAM2Tree:
+    """Incremental smoother with a resident supernodal factorization.
+
+    Usage:
+        isam = ISAM2Tree()
+        isam.update(new_batches, new_entries)   # returns delta (n, d) rows
+        est = isam.calculate_estimate()
+    """
+
+    def __init__(self, relinearize_threshold: float = 0.1,
+                 relinearize_skip: int = 1,
+                 relax_tau: float = 0.3, force_width: int = 8,
+                 max_width: int = 48):
+        self.relin_threshold = relinearize_threshold
+        self.relin_skip = relinearize_skip
+        self._sn_params = dict(relax_tau=relax_tau, force_width=force_width,
+                               max_width=max_width)
+        # variables
+        self.nvar = 0
+        self.var_type: List[str] = []
+        self.var_row: List[int] = []
+        self.var_key: List[int] = []
+        self.key_to_vid: Dict[int, int] = {}
+        self.types: List[str] = []
+        self.var_arrays: Dict[str, object] = {}
+        self.type_cap: Dict[str, int] = {}
+        self.type_rows: Dict[str, List[int]] = {}   # row -> vid
+        self.d = 0
+        # factors
+        self.stores: List[_FactorStore] = []
+        self._store_of: Dict[tuple, int] = {}
+        self.adj: List[set] = []
+        self._vid_factors: List[set] = []   # vid -> set of (store, row)
+        # elimination state
+        self.pos = np.zeros(0, dtype=np.int64)   # vid -> elimination position
+        self._pos_counter = 0
+        self.snodes: Dict[int, _SNode] = {}
+        self.snode_of: List[int] = []            # vid -> sid
+        self._next_sid = 0
+        self.levels: List[set] = []              # level -> set of sids
+        # device buffers + slot pools
+        self.block_slot: Dict[Tuple[int, int], int] = {}  # (vid_hi_pos? no:
+        #   key = (a, b) with pos[a] > pos[b] normalized at lookup time
+        self.block_pool = _SlotPool()
+        self.u_pool = _SlotPool()
+        self.urhs_pool = _SlotPool()
+        self.B_cap = 64
+        self.n_cap = 8
+        self.U_cap = 64
+        self.UR_cap = 64
+        self.Lb = None       # (B_cap+1, d, d)
+        self.Ubuf = None     # (U_cap+1, d, d)
+        self.Urhs = None     # (UR_cap+1, d)
+        self.y = None        # (n_cap+1, d)
+        self.delta_host = np.zeros((0, 0))
+        self.update_count = 0
+        self._jit_cache: Dict[tuple, callable] = {}
+        self._marked_relin: set = set()
+
+    # -- variable / factor ingestion ----------------------------------------
+
+    def _ensure_dtype_buffers(self):
+        dt = jnp.result_type(float)
+        if self.Lb is None or self.Lb.shape[0] != self.B_cap + 1 \
+                or self.Lb.shape[1] != self.d:
+            old = self.Lb
+            self.Lb = jnp.zeros((self.B_cap + 1, self.d, self.d), dtype=dt)
+            if old is not None and old.shape[1] == self.d:
+                self.Lb = self.Lb.at[:old.shape[0] - 1].set(old[:-1])
+        if self.Ubuf is None or self.Ubuf.shape[0] != self.U_cap + 1 \
+                or self.Ubuf.shape[1] != self.d:
+            old = self.Ubuf
+            self.Ubuf = jnp.zeros((self.U_cap + 1, self.d, self.d), dtype=dt)
+            if old is not None and old.shape[1] == self.d:
+                self.Ubuf = self.Ubuf.at[:old.shape[0] - 1].set(old[:-1])
+        if self.Urhs is None or self.Urhs.shape[0] != self.UR_cap + 1 \
+                or self.Urhs.shape[1] != self.d:
+            old = self.Urhs
+            self.Urhs = jnp.zeros((self.UR_cap + 1, self.d), dtype=dt)
+            if old is not None and old.shape[1] == self.d:
+                self.Urhs = self.Urhs.at[:old.shape[0] - 1].set(old[:-1])
+        if self.y is None or self.y.shape[0] != self.n_cap + 1 \
+                or self.y.shape[1] != self.d:
+            old = self.y
+            self.y = jnp.zeros((self.n_cap + 1, self.d), dtype=dt)
+            if old is not None and old.shape[1] == self.d:
+                self.y = self.y.at[:old.shape[0] - 1].set(old[:-1])
+
+    def _add_value(self, key, tname, val):
+        key = int(key)
+        if key in self.key_to_vid:
+            return None
+        dim = manifolds.get(tname).dim
+        if dim > self.d:
+            self.d = dim            # buffers resized in _ensure_dtype_buffers
+        if tname not in self.type_cap:
+            self.types = sorted(set(self.types) | {tname})
+            self.type_cap[tname] = 8
+            self.type_rows[tname] = []
+            self.var_arrays[tname] = jax.tree.map(
+                lambda a: jnp.broadcast_to(
+                    jnp.asarray(a)[None], (8,) + jnp.asarray(a).shape).copy(),
+                val)
+        row = len(self.type_rows[tname])
+        if row >= self.type_cap[tname]:
+            cap = self.type_cap[tname]
+            self.var_arrays[tname] = jax.tree.map(
+                lambda a: jnp.concatenate([a, a[:cap]]), self.var_arrays[tname])
+            self.type_cap[tname] = cap * 2
+        self.var_arrays[tname] = jax.tree.map(
+            lambda a, v: a.at[row].set(jnp.asarray(v)),
+            self.var_arrays[tname], val)
+        vid = self.nvar
+        self.nvar += 1
+        self.var_type.append(tname)
+        self.var_row.append(row)
+        self.var_key.append(key)
+        self.key_to_vid[key] = vid
+        self.type_rows[tname].append(vid)
+        self.adj.append(set())
+        self._vid_factors.append(set())
+        self.snode_of.append(-1)
+        self.pos = np.append(self.pos, -1)
+        if self.nvar > self.n_cap:
+            self.n_cap = _pow2(self.nvar, 8)
+        return vid
+
+    def _add_factors(self, batch: factors_mod.FactorBatch):
+        sig = (batch.residual_fn, batch.var_types, batch.rdim)
+        nz = batch.noise
+        r, n = batch.rdim, batch.num_factors
+        if nz.kind == "unit":
+            R_new = jnp.broadcast_to(jnp.eye(r), (n, r, r))
+        elif nz.kind in ("diagonal", "constrained"):
+            dd = jnp.broadcast_to(nz.data, (n, r))
+            R_new = jax.vmap(jnp.diag)(dd)
+        else:
+            R_new = jnp.broadcast_to(nz.data, (n, r, r))
+        vkeys = np.asarray(
+            [[self.key_to_vid[int(k)] for k in row] for row in batch.keys],
+            dtype=np.int64)
+        if sig not in self._store_of:
+            cap = _pow2(n, 8)
+            pad = cap - n
+            keys = np.concatenate([vkeys, np.tile(vkeys[:1], (pad, 1))])
+            meas = jax.tree.map(
+                lambda a: jnp.concatenate(
+                    [jnp.asarray(a),
+                     jnp.broadcast_to(jnp.asarray(a)[:1],
+                                      (pad,) + jnp.asarray(a).shape[1:])]),
+                batch.measurements)
+            R = jnp.concatenate([R_new, jnp.zeros((pad,) + R_new.shape[1:])])
+            self._store_of[sig] = len(self.stores)
+            self.stores.append(_FactorStore(batch, cap, n, keys, meas, R))
+            si = len(self.stores) - 1
+            rows = range(n)
+        else:
+            si = self._store_of[sig]
+            st = self.stores[si]
+            need = st.n + n
+            if need > st.cap:
+                new_cap = _pow2(need, 8)
+                grow = new_cap - st.cap
+                st.keys = np.concatenate(
+                    [st.keys, np.tile(st.keys[:1], (grow, 1))])
+                st.meas = jax.tree.map(
+                    lambda a: jnp.concatenate(
+                        [a, jnp.broadcast_to(a[:1], (grow,) + a.shape[1:])]),
+                    st.meas)
+                st.R = jnp.concatenate(
+                    [st.R, jnp.zeros((grow,) + st.R.shape[1:])])
+                st.cap = new_cap
+            rows = range(st.n, st.n + n)
+            st.keys[st.n:st.n + n] = vkeys
+            idx = jnp.arange(st.n, st.n + n)
+            st.meas = jax.tree.map(
+                lambda a, b: a.at[idx].set(jnp.asarray(b)),
+                st.meas, batch.measurements)
+            st.R = st.R.at[idx].set(R_new)
+            st.n += n
+        touched = set()
+        for fr, row in enumerate(rows):
+            vs = [int(v) for v in vkeys[fr]]
+            for a in vs:
+                self._vid_factors[a].add((si, row))
+                touched.add(a)
+                for b in vs:
+                    if a != b:
+                        self.adj[a].add(b)
+        return touched
+
+    # -- block slots ---------------------------------------------------------
+
+    def _blk(self, a: int, b: int) -> int:
+        """Slot of the block for var pair {a, b} (allocating if new).
+        Key normalized to unordered (min_vid, max_vid)."""
+        k = (a, b) if a <= b else (b, a)
+        s = self.block_slot.get(k)
+        if s is None:
+            s = int(self.block_pool.alloc(1)[0])
+            self.block_slot[k] = s
+            if self.block_pool.top > self.B_cap:
+                self.B_cap = _pow2(self.block_pool.top, 64)
+        return s
+
+    def _blk_get(self, a: int, b: int) -> int:
+        k = (a, b) if a <= b else (b, a)
+        return self.block_slot[k]
+
+    # -- update --------------------------------------------------------------
+
+    def update(self, new_batches=(), new_entries=(), force_full: bool = False):
+        new_vids = []
+        for (k, t, v) in new_entries:
+            vid = self._add_value(k, t, v)
+            if vid is not None:
+                new_vids.append(vid)
+        touched = set(new_vids)
+        for b in new_batches:
+            touched |= self._add_factors(b)
+        self.update_count += 1
+
+        # relinearization: every relin_skip updates, move theta for big deltas
+        relin_vids = set()
+        if (self.update_count > 1 and
+                self.update_count % self.relin_skip == 0 and
+                len(self.delta_host)):
+            mags = np.max(np.abs(self.delta_host), axis=1)
+            relin_vids = {int(v) for v in np.where(
+                mags > self.relin_threshold)[0]
+                if self.snode_of[v] >= 0 and not self._frozen_vid(v)}
+            if relin_vids:
+                self._apply_relin(relin_vids)
+                for v in relin_vids:
+                    for (si, row) in self._vid_factors[v]:
+                        for w in self.stores[si].keys[row]:
+                            touched.add(int(w))
+
+        affected_sids = self._affected_closure(touched, force_full)
+        if not affected_sids and not new_vids:
+            # nothing changed structurally or numerically
+            return self.delta_host[:self.nvar]
+        self._check_frozen(affected_sids, touched)
+        plan = self._replan(affected_sids, touched, new_vids)
+        self._ensure_dtype_buffers()
+        self._execute(plan)
+        return self.delta_host[:self.nvar]
+
+    def _frozen_vid(self, v):
+        sid = self.snode_of[v]
+        return sid >= 0 and self.snodes[sid].frozen
+
+    def _apply_relin(self, relin_vids):
+        """theta <- retract(theta, delta) for relin vars; zero their delta."""
+        by_type: Dict[str, list] = {}
+        for v in relin_vids:
+            by_type.setdefault(self.var_type[v], []).append(v)
+        for t, vids in by_type.items():
+            man = manifolds.get(t)
+            rows = np.asarray([self.var_row[v] for v in vids])
+            dvec = jnp.asarray(self.delta_host[vids][:, :man.dim])
+            cur = jax.tree.map(lambda a: a[rows], self.var_arrays[t])
+            new = jax.vmap(man.retract)(cur, dvec)
+            self.var_arrays[t] = jax.tree.map(
+                lambda a, nv: a.at[rows].set(nv), self.var_arrays[t], new)
+            self.delta_host[vids] = 0.0
+
+    def _affected_closure(self, touched, force_full):
+        if force_full or not self.snodes:
+            return set(self.snodes.keys())
+        aff = set()
+        stack = [self.snode_of[v] for v in touched if self.snode_of[v] >= 0]
+        while stack:
+            sid = stack.pop()
+            if sid in aff or sid < 0:
+                continue
+            aff.add(sid)
+            p = self.snodes[sid].parent
+            if p >= 0 and p not in aff:
+                stack.append(p)
+        return aff
+
+    def _check_frozen(self, affected_sids, touched):
+        for sid in affected_sids:
+            if self.snodes[sid].frozen:
+                raise ValueError(
+                    "update touches marginalized (frozen) variables "
+                    f"(supernode {sid}); marginalized variables cannot "
+                    "receive new factors or relinearize")
+
+    # -- symbolic re-elimination of the affected top --------------------------
+
+    def _replan(self, affected_sids, touched, new_vids):
+        # removed vars = cols of affected snodes + brand-new vars
+        r_vars = list(new_vids)
+        for sid in affected_sids:
+            r_vars.extend(self.snodes[sid].cols)
+        r_vars = sorted(set(r_vars))
+        m = len(r_vars)
+        local = {v: i for i, v in enumerate(r_vars)}
+
+        # orphans: children of removed snodes that are not removed
+        orphans = []
+        for sid in affected_sids:
+            for c in self.snodes[sid].children:
+                if c not in affected_sids:
+                    orphans.append(c)
+
+        # local adjacency: factor edges within + orphan separator cliques
+        import scipy.sparse as sp
+        ri, ci = [], []
+        for v in r_vars:
+            for w in self.adj[v]:
+                if w in local:
+                    ri.append(local[v])
+                    ci.append(local[w])
+        for o in orphans:
+            rows = self.snodes[o].rows
+            for a in range(len(rows)):
+                for b in range(len(rows)):
+                    if a != b:
+                        ri.append(local[rows[a]])
+                        ci.append(local[rows[b]])
+        adj_l = sp.csr_matrix(
+            (np.ones(len(ri), dtype=np.int8), (ri, ci)), shape=(m, m))
+
+        if m > 64:
+            perm = ordering_mod.nested_dissection(adj_l)
+        else:
+            perm = ordering_mod.minimum_degree(adj_l)
+        sym = sn_mod.analyze_supernodal(adj_l, perm, **self._sn_params)
+
+        # assign fresh global positions in the local elimination order
+        for j in range(m):
+            self.pos[r_vars[int(sym.perm[j])]] = self._pos_counter
+            self._pos_counter += 1
+
+        # tear down removed snodes
+        old_pairs = set()
+        for sid in affected_sids:
+            s = self.snodes[sid]
+            for pr in self._snode_pairs(s):
+                old_pairs.add(pr)
+            if s.u_slots is not None:
+                self.u_pool.release(s.u_slots)
+            if s.urhs_slots is not None:
+                self.urhs_pool.release(s.urhs_slots)
+            self.levels[s.level].discard(sid)
+            self.snodes.pop(sid)
+
+        # build new snodes from the local analysis
+        new_sids = []
+        loc2vid = [r_vars[int(sym.perm[j])] for j in range(m)]
+        for ls in range(sym.nsuper):
+            c0, w = int(sym.snode_start[ls]), int(sym.snode_width[ls])
+            cols = [loc2vid[c0 + a] for a in range(w)]
+            rows = [loc2vid[int(r)] for r in sym.snode_rows[ls]]
+            sid = self._next_sid
+            self._next_sid += 1
+            r = len(rows)
+            u_slots = self.u_pool.alloc(r * (r + 1) // 2) if r else None
+            urhs_slots = self.urhs_pool.alloc(r) if r else None
+            sn = _SNode(sid, cols, rows, -1, set(), 0, u_slots, urhs_slots)
+            self.snodes[sid] = sn
+            new_sids.append(sid)
+            for v in cols:
+                self.snode_of[v] = sid
+        if self.u_pool.top > self.U_cap:
+            self.U_cap = _pow2(self.u_pool.top, 64)
+        if self.urhs_pool.top > self.UR_cap:
+            self.UR_cap = _pow2(self.urhs_pool.top, 64)
+
+        # parents: local tree structure + orphan reattachment
+        for ls, sid in enumerate(new_sids):
+            lp = int(sym.snode_parent[ls])
+            if lp >= 0:
+                self.snodes[sid].parent = new_sids[lp]
+                self.snodes[new_sids[lp]].children.add(sid)
+        for o in orphans:
+            rows = self.snodes[o].rows
+            first = min(rows, key=lambda v: self.pos[v])
+            p = self.snode_of[first]
+            self.snodes[o].parent = p
+            self.snodes[p].children.add(o)
+
+        # levels (heights): orphan heights are unchanged; new snodes bottom-up
+        for ls, sid in enumerate(new_sids):
+            s = self.snodes[sid]
+            h = 0
+            for c in s.children:
+                h = max(h, self.snodes[c].level + 1)
+            s.level = h
+        while len(self.levels) < 1 + max(
+                (self.snodes[s].level for s in new_sids), default=0):
+            self.levels.append(set())
+        for sid in new_sids:
+            self.levels[self.snodes[sid].level].add(sid)
+
+        # block slots: allocate new fill, free stale
+        new_pairs = set()
+        for sid in new_sids:
+            for pr in self._snode_pairs(self.snodes[sid]):
+                new_pairs.add(pr)
+        for pr in old_pairs - new_pairs:
+            self.block_pool.release([self.block_slot.pop(pr)])
+        for pr in new_pairs - old_pairs:
+            a, b = pr
+            self._blk(a, b)
+        return new_sids
+
+    def _snode_pairs(self, s: _SNode):
+        cols, rows = s.cols, s.rows
+        for i in range(len(cols)):
+            for j in range(i, len(cols)):
+                a, b = cols[i], cols[j]
+                yield (a, b) if a <= b else (b, a)
+        for r in rows:
+            for c in cols:
+                yield (r, c) if r <= c else (c, r)
+
+    # -- numeric execution ---------------------------------------------------
+
+    def _execute(self, new_sids):
+        H, g = self._assemble()
+        plans, sig = self._refactor_plans(new_sids)
+        refactor = self._refactor_program(sig)
+        (self.Lb, self.Ubuf, self.Urhs, self.y) = refactor(
+            H, g, self.Lb, self.Ubuf, self.Urhs, self.y, plans)
+        bplans, bsig = self._backward_plans()
+        backward = self._backward_program(bsig)
+        x = backward(self.Lb, self.y, bplans)
+        self.delta_host = np.array(x[:-1])
+
+    # .. full assembly (H blocks + gradient), every update ..................
+
+    def _assemble(self):
+        dt = jnp.result_type(float)
+        d = self.d
+        # host: contribution target lists (rebuilt per update; vectorized)
+        asm_t, g_t = [], []
+        metas = []
+        for st in self.stores:
+            arity = st.keys.shape[1]
+            pos = self.pos[st.keys]          # (cap, arity)
+            for s1 in range(arity):
+                g_t.append(st.keys[:, s1].astype(np.int64))
+                for s2 in range(s1, arity):
+                    a = st.keys[:, s1]
+                    b = st.keys[:, s2]
+                    flip = pos[:, s1] < pos[:, s2]
+                    # stored block = (later, earlier); we emit value H_{s1 s2}
+                    # and transpose when s1 is eliminated first
+                    tg = np.asarray(
+                        [self._blk_get(int(x), int(y))
+                         for x, y in zip(a, b)], dtype=np.int64)
+                    asm_t.append(tg)
+                    metas.append((flip,))
+        asm_t_flat = (np.concatenate(asm_t) if asm_t
+                      else np.zeros(0, dtype=np.int64))
+        order = np.argsort(asm_t_flat, kind="stable").astype(np.int32)
+        seg = asm_t_flat[order].astype(np.int32)
+        g_t_flat = (np.concatenate(g_t) if g_t
+                    else np.zeros(0, dtype=np.int64))
+        gorder = np.argsort(g_t_flat, kind="stable").astype(np.int32)
+        gseg = g_t_flat[gorder].astype(np.int32)
+
+        prog = self._assembly_program()
+        H, g = prog(self.var_arrays, self._store_args(),
+                    [jnp.asarray(m[0]) for m in metas],
+                    jnp.asarray(order), jnp.asarray(seg),
+                    jnp.asarray(gorder), jnp.asarray(gseg))
+        return H, g
+
+    def _store_args(self):
+        args = []
+        for st in self.stores:
+            rows = []
+            for s, t in enumerate(st.batch.var_types):
+                rows.append(jnp.asarray(
+                    [self.var_row[int(v)] for v in st.keys[:, s]],
+                    dtype=jnp.int32))
+            args.append((st.meas, st.R, tuple(rows)))
+        return args
+
+    def _assembly_program(self):
+        key = ("asm", self.B_cap, self.n_cap, self.d,
+               tuple((st.batch.residual_fn, st.batch.var_types,
+                      st.batch.rdim, st.cap) for st in self.stores),
+               tuple(sorted(self.type_cap.items())))
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        metas = [(st.batch, st.batch.var_types) for st in self.stores]
+        d, B_cap, n_cap = self.d, self.B_cap, self.n_cap
+
+        @jax.jit
+        def assemble(var_arrays, store_args, flips, order, seg, gorder, gseg):
+            dt = jnp.result_type(float)
+            h_parts, g_parts = [], []
+            fi = 0
+            for (batch, types), (meas, R, rows) in zip(metas, store_args):
+                xs = tuple(jax.tree.map(lambda a: a[rows[s]], var_arrays[t])
+                           for s, t in enumerate(types))
+                dims = batch.dims()
+                retracts = tuple(manifolds.get(t).retract for t in types)
+
+                def res_tangent(deltas, xs_one, meas_one):
+                    xs_p = tuple(r(x, dd) for r, x, dd in
+                                 zip(retracts, xs_one, deltas))
+                    return batch.residual_fn(xs_p, meas_one)
+
+                def one(xs_one, meas_one):
+                    zeros = tuple(jnp.zeros(dd, dtype=dt) for dd in dims)
+                    J = jax.jacfwd(res_tangent)(zeros, xs_one, meas_one)
+                    r = res_tangent(zeros, xs_one, meas_one)
+                    return J, r
+
+                J, r = jax.vmap(one)(xs, meas)
+                wJ = tuple(jnp.einsum("nij,njd->nid", R, Ji) for Ji in J)
+                b = -jnp.einsum("nij,nj->ni", R, r)
+                for s1 in range(len(types)):
+                    gi = jnp.einsum("nrd,nr->nd", wJ[s1], b)
+                    g_parts.append(jnp.pad(gi, ((0, 0), (0, d - dims[s1]))))
+                    for s2 in range(s1, len(types)):
+                        Hij = jnp.einsum("nri,nrj->nij", wJ[s1], wJ[s2])
+                        Hij = jnp.pad(Hij, ((0, 0), (0, d - dims[s1]),
+                                            (0, d - dims[s2])))
+                        Hij = jnp.where(flips[fi][:, None, None],
+                                        jnp.swapaxes(Hij, 1, 2), Hij)
+                        h_parts.append(Hij)
+                        fi += 1
+            H = jnp.zeros((B_cap + 1, d, d), dtype=dt)
+            if h_parts:
+                allH = jnp.concatenate(h_parts, axis=0)[order]
+                H = H.at[seg].add(allH)
+            g = jnp.zeros((n_cap + 1, d), dtype=dt)
+            if g_parts:
+                allG = jnp.concatenate(g_parts, axis=0)[gorder]
+                g = g.at[gseg].add(allG)
+            return H, g
+
+        self._jit_cache[key] = assemble
+        return assemble
+
+    # .. refactorization of the affected top ..................................
+
+    def _refactor_plans(self, new_sids):
+        """Per-local-level runtime index bundles for the new snodes."""
+        d = self.d
+        new_set = set(new_sids)
+        by_h: Dict[int, list] = {}
+        for sid in new_sids:
+            by_h.setdefault(self._local_height(sid, new_set), []).append(sid)
+        plans = []
+        sig = []
+        # uniform caps across local levels -> ONE signature per update shape
+        all_sids = [sid for h in sorted(by_h) for sid in by_h[h]]
+        S_u = _pow2(max(len(v) for v in by_h.values()), 1)
+        W_u = _bucket(max(len(self.snodes[s].cols) for s in all_sids),
+                      _W_BUCKETS)
+        R_u = _bucket(max((len(self.snodes[s].rows) for s in all_sids),
+                          default=0), _R_BUCKETS) \
+            if any(self.snodes[s].rows for s in all_sids) else 0
+        for h in sorted(by_h):
+            sids = by_h[h]
+            S, W, R = S_u, W_u, R_u
+            F = W + R
+            a_pos, a_blk = [], []
+            e_src, e_dst = [], []
+            er_src, er_dst = [], []
+            uo_src, uo_dst = [], []
+            yro_src, yro_dst = [], []
+            col_vars = np.full((S, W), self.n_cap, dtype=np.int32)
+            lo_src, lo_dst = [], []
+            pad_cols = np.zeros((S, F * d), dtype=np.float64)
+            valid_piv = np.zeros((S, W * d), dtype=bool)
+            for si, sid in enumerate(sids):
+                s = self.snodes[sid]
+                cols, rows = s.cols, s.rows
+                w, r = len(cols), len(rows)
+                fvars = cols + rows
+                fpos = {v: i for i, v in enumerate(fvars)}
+                for a in range(w):
+                    col_vars[si, a] = cols[a]
+                    dim = manifolds.get(self.var_type[cols[a]]).dim
+                    valid_piv[si, a * d:a * d + dim] = True
+                    pad_cols[si, a * d + dim:(a + 1) * d] = 1.0
+                for a in range(w, W):
+                    pad_cols[si, a * d:(a + 1) * d] = 1.0
+                # A-block gather: lower strip (fi >= fj, fj < w).  Stored
+                # blocks hold H[later, earlier]; front order IS elimination
+                # order, so (fi > fj) already matches — no flips needed.
+                for fj in range(w):
+                    for fi in range(fj, w + r):
+                        va, vb = fvars[fi], fvars[fj]
+                        a_pos.append((si * F + fi) * W + fj)
+                        a_blk.append(self._blk_get(va, vb))
+                # extend-add children U and u_rhs
+                for c in s.children:
+                    cs = self.snodes[c]
+                    cmap = [fpos[v] for v in cs.rows]
+                    k = 0
+                    for a in range(len(cs.rows)):
+                        for b in range(a + 1):
+                            fi, fj = cmap[a], cmap[b]
+                            if fi < fj:
+                                fi, fj = fj, fi
+                            e_src.append(int(cs.u_slots[k]))
+                            e_dst.append((si * F + fi) * F + fj)
+                            k += 1
+                        er_src.append(int(cs.urhs_slots[a]))
+                        er_dst.append(si * F + cmap[a])
+                # outputs: L blocks (within + panel), U, u_rhs, y
+                for fj in range(w):
+                    for fi in range(fj, w + r):
+                        va, vb = fvars[fi], fvars[fj]
+                        lo_src.append((si * F + fi) * W + fj)
+                        lo_dst.append(self._blk_get(va, vb))
+                k = 0
+                for a in range(r):
+                    for b in range(a + 1):
+                        uo_src.append((si * R + a) * R + b)
+                        uo_dst.append(int(s.u_slots[k]))
+                        k += 1
+                    yro_src.append(si * R + a)
+                    yro_dst.append(int(s.urhs_slots[a]))
+            E = _pow2(max(len(e_src), 1), 64)
+            ER = _pow2(max(len(er_src), 1), 64)
+            A = _pow2(max(len(a_pos), 1), 64)
+            L = _pow2(max(len(lo_src), 1), 64)
+            Uo = _pow2(max(len(uo_src), 1), 64)
+            YR = _pow2(max(len(yro_src), 1), 64)
+
+            def pad(a, cap, sent):
+                a = np.asarray(a, dtype=np.int64)
+                return jnp.asarray(
+                    np.pad(a, (0, cap - len(a)), constant_values=sent),
+                    dtype=jnp.int32)
+
+            plans.append(dict(
+                # a_pos sentinel: out-of-bounds -> dropped; a_blk pads to the
+                # zero sentinel row of H
+                a_pos=pad(a_pos, A, S * F * W),
+                a_blk=pad(a_blk, A, self.B_cap),
+                e_src=pad(e_src, E, self.U_cap),
+                e_dst=pad(e_dst, E, S * F * F),
+                er_src=pad(er_src, ER, self.UR_cap),
+                er_dst=pad(er_dst, ER, S * F),
+                uo_src=pad(uo_src, Uo, 0),
+                uo_dst=pad(uo_dst, Uo, self.U_cap + 1),     # OOB -> drop
+                yro_src=pad(yro_src, YR, 0),
+                yro_dst=pad(yro_dst, YR, self.UR_cap + 1),  # OOB -> drop
+                lo_src=pad(lo_src, L, 0),
+                lo_dst=pad(lo_dst, L, self.B_cap + 1),      # OOB -> drop
+                col_vars=jnp.asarray(col_vars),
+                pad_cols=jnp.asarray(pad_cols),
+                valid_piv=jnp.asarray(valid_piv),
+            ))
+            sig.append((S, W, R, E, ER, A, L, Uo, YR))
+        # pad the level list to a pow2 count with no-op dummy levels so the
+        # refactor program signature stays stable across updates
+        nlev_cap = _pow2(len(plans), 1)
+        while len(plans) < nlev_cap:
+            S, W, R = S_u, W_u, R_u
+            F = W + R
+            zero = lambda cap, sent: jnp.full((cap,), sent, dtype=jnp.int32)
+            plans.append(dict(
+                a_pos=zero(sig[-1][5], S * F * W),
+                a_blk=zero(sig[-1][5], self.B_cap),
+                e_src=zero(sig[-1][3], self.U_cap),
+                e_dst=zero(sig[-1][3], S * F * F),
+                er_src=zero(sig[-1][4], self.UR_cap),
+                er_dst=zero(sig[-1][4], S * F),
+                uo_src=zero(sig[-1][7], 0),
+                uo_dst=zero(sig[-1][7], self.U_cap + 1),
+                yro_src=zero(sig[-1][8], 0),
+                yro_dst=zero(sig[-1][8], self.UR_cap + 1),
+                lo_src=zero(sig[-1][6], 0),
+                lo_dst=zero(sig[-1][6], self.B_cap + 1),
+                col_vars=jnp.full((S, W), self.n_cap, dtype=jnp.int32),
+                pad_cols=jnp.ones((S, F * self.d)),
+                valid_piv=jnp.zeros((S, W * self.d), dtype=bool),
+            ))
+            sig.append(sig[-1])
+        return plans, tuple(sig)
+
+    def _local_height(self, sid, new_set):
+        s = self.snodes[sid]
+        h = 0
+        for c in s.children:
+            if c in new_set:
+                h = max(h, self._local_height(c, new_set) + 1)
+        return h
+
+    def _refactor_program(self, sig):
+        key = ("refactor", sig, self.B_cap, self.n_cap, self.U_cap,
+               self.UR_cap, self.d)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        self._evict_jit()
+        d = self.d
+        B_cap, n_cap = self.B_cap, self.n_cap
+        U_cap, UR_cap = self.U_cap, self.UR_cap
+
+        @jax.jit
+        def refactor(H, g, Lb, Ubuf, Urhs, y, plans):
+            dt = H.dtype
+            for lp in plans:
+                S, W = lp["col_vars"].shape
+                F = lp["pad_cols"].shape[1] // d
+                R = F - W
+                # leading column strip from H (A-blocks)
+                strip = jnp.zeros((S * F * W, d, d), dtype=dt)
+                strip = strip.at[lp["a_pos"]].set(H[lp["a_blk"]],
+                                                  mode="drop")
+                # full lower front grid, extend-add cached U
+                G = jnp.zeros((S * F * F + 1, d, d), dtype=dt)
+                sfw = strip.reshape(S, F, W, d, d)
+                fi_idx = np.arange(F)[None, :, None]
+                fj_idx = np.arange(W)[None, None, :]
+                s_idx = np.arange(S)[:, None, None]
+                flat = ((s_idx * F + fi_idx) * F + fj_idx)
+                G = G.at[flat.reshape(-1)].set(
+                    sfw.reshape(S * F * W, d, d))
+                G = G.at[lp["e_dst"]].add(Ubuf[lp["e_src"]], mode="drop")
+                G = G[:-1].reshape(S, F, F, d, d)
+                # symmetrize (lower stored)
+                eye_mask = np.eye(F, dtype=bool)[None, :, :, None, None]
+                Gt = jnp.swapaxes(jnp.swapaxes(G, 1, 2), 3, 4)
+                G = jnp.where(eye_mask, G, G + Gt)
+                front = G.transpose(0, 1, 3, 2, 4).reshape(S, F * d, F * d)
+                front = front + jax.vmap(jnp.diag)(
+                    lp["pad_cols"].astype(dt))
+                # rhs front
+                fr = jnp.zeros((S * F + 1, d), dtype=dt)
+                g_ext = jnp.concatenate([g, jnp.zeros((1, d), dtype=dt)])
+                cm = lp["col_vars"]
+                fr = fr.at[(np.arange(S)[:, None] * F
+                            + np.arange(W)[None, :]).reshape(-1)].set(
+                    g_ext[cm].reshape(S * W, d))
+                fr = fr.at[lp["er_dst"]].add(Urhs[lp["er_src"]], mode="drop")
+                fr = fr[:-1].reshape(S, F * d)
+                # partial factorization
+                Fcc = front[:, :W * d, :W * d]
+                Lcc = jnp.linalg.cholesky(Fcc)
+                Lcc = jnp.where(jnp.isfinite(Lcc), Lcc, 0.0)
+                ycc = jax.lax.linalg.triangular_solve(
+                    Lcc, fr[:, :W * d, None], left_side=True,
+                    lower=True)[..., 0]
+                # scatter y at columns
+                yb = ycc.reshape(S, W, d).reshape(S * W, d)
+                y = y.at[cm.reshape(-1)].set(yb, mode="drop")
+                # L blocks out (cc part lives in the strip layout)
+                if R > 0:
+                    Frc = front[:, W * d:, :W * d]
+                    Xt = jax.lax.linalg.triangular_solve(
+                        Lcc, jnp.swapaxes(Frc, 1, 2), left_side=True,
+                        lower=True)
+                    Lrc = jnp.swapaxes(Xt, 1, 2)
+                    Lrc = jnp.where(jnp.isfinite(Lrc), Lrc, 0.0)
+                    Urr = (front[:, W * d:, W * d:]
+                           - jnp.einsum("sij,skj->sik", Lrc, Lrc))
+                    urhs_s = (fr[:, W * d:]
+                              - jnp.einsum("sij,sj->si", Lrc, ycc))
+                    # U out
+                    Ub = Urr.reshape(S, R, d, R, d).transpose(0, 1, 3, 2, 4)
+                    Ub = Ub.reshape(S * R * R, d, d)
+                    Ubuf = Ubuf.at[lp["uo_dst"]].set(Ub[lp["uo_src"]],
+                                                     mode="drop")
+                    ub = urhs_s.reshape(S, R, d).reshape(S * R, d)
+                    Urhs = Urhs.at[lp["yro_dst"]].set(ub[lp["yro_src"]],
+                                                      mode="drop")
+                    # L out: whole strip [Lcc; Lrc] in front layout
+                    Lfull = jnp.concatenate([Lcc, Lrc], axis=1)
+                else:
+                    Lfull = Lcc
+                Lb_blocks = Lfull.reshape(S, F, d, W, d).transpose(
+                    0, 1, 3, 2, 4).reshape(S * F * W, d, d)
+                Lb = Lb.at[lp["lo_dst"]].set(Lb_blocks[lp["lo_src"]],
+                                             mode="drop")
+            return Lb, Ubuf, Urhs, y
+
+        self._jit_cache[key] = refactor
+        return refactor
+
+    # .. backward substitution over the whole tree ............................
+
+    def _backward_plans(self):
+        d = self.d
+        plans = []
+        sig = []
+        # UNIFORM caps across all levels: one compile signature for the whole
+        # tree shape class (padding waste is small batched work; recompiles
+        # over the tunnel are 30s+)
+        live = [lev for lev in range(len(self.levels))
+                if any(s in self.snodes for s in self.levels[lev])]
+        all_s = [s for lev in live for s in self.levels[lev]
+                 if s in self.snodes]
+        S_u = _pow2(max((len([s for s in self.levels[lev]
+                              if s in self.snodes]) for lev in live),
+                        default=1), 1)
+        W_u = _bucket(max((len(self.snodes[s].cols) for s in all_s),
+                          default=1), _W_BUCKETS)
+        R_u = _bucket(max((len(self.snodes[s].rows) for s in all_s),
+                          default=0), _R_BUCKETS) \
+            if any(self.snodes[s].rows for s in all_s) else 0
+        nlev_cap = _pow2(max(len(live), 1), 2)
+        for lev in range(len(self.levels) - 1, -1, -1):
+            sids = [s for s in self.levels[lev] if s in self.snodes]
+            if not sids:
+                continue
+            S, W, R = S_u, W_u, R_u
+            diag_ids = np.full((S, W, W), self.B_cap, dtype=np.int32)
+            panel_ids = np.full((S, R, W), self.B_cap, dtype=np.int32)
+            col_vars = np.full((S, W), self.n_cap, dtype=np.int32)
+            row_vars = np.full((S, R), self.n_cap, dtype=np.int32)
+            for si, sid in enumerate(sids):
+                s = self.snodes[sid]
+                cols, rows = s.cols, s.rows
+                w, r = len(cols), len(rows)
+                for a in range(w):
+                    col_vars[si, a] = cols[a]
+                    for b in range(a + 1):
+                        diag_ids[si, a, b] = self._blk_get(cols[a], cols[b])
+                for a in range(r):
+                    row_vars[si, a] = rows[a]
+                    for b in range(w):
+                        panel_ids[si, a, b] = self._blk_get(rows[a], cols[b])
+            plans.append(dict(
+                diag_ids=jnp.asarray(diag_ids),
+                panel_ids=jnp.asarray(panel_ids),
+                col_vars=jnp.asarray(col_vars),
+                row_vars=jnp.asarray(row_vars),
+            ))
+        while len(plans) < nlev_cap:   # no-op dummy levels
+            plans.append(dict(
+                diag_ids=jnp.full((S_u, W_u, W_u), self.B_cap,
+                                  dtype=jnp.int32),
+                panel_ids=jnp.full((S_u, R_u, W_u), self.B_cap,
+                                   dtype=jnp.int32),
+                col_vars=jnp.full((S_u, W_u), self.n_cap, dtype=jnp.int32),
+                row_vars=jnp.full((S_u, R_u), self.n_cap, dtype=jnp.int32),
+            ))
+        sig = (nlev_cap, S_u, W_u, R_u)
+        return plans, sig
+
+    def _backward_program(self, sig):
+        key = ("backward", sig, self.B_cap, self.n_cap, self.d)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        self._evict_jit()
+        d, n_cap = self.d, self.n_cap
+
+        @jax.jit
+        def backward(Lb, y, plans):
+            dt = Lb.dtype
+            x = jnp.zeros((n_cap + 1, d), dtype=dt)
+            for lp in plans:
+                S, W = lp["col_vars"].shape
+                R = lp["row_vars"].shape[1]
+                # dense L_cc per snode (lower grid -> dense)
+                G = Lb[lp["diag_ids"]]                        # (S,W,W,d,d)
+                Ld = G.transpose(0, 1, 3, 2, 4).reshape(S, W * d, W * d)
+                # padded cols: identity so the solve is well-posed
+                diag = jnp.diagonal(Ld, axis1=-2, axis2=-1)
+                fix = (jnp.abs(diag) < 1e-300).astype(dt)
+                Ld = Ld + jax.vmap(jnp.diag)(fix)
+                rhs = y[lp["col_vars"]].reshape(S, W * d)
+                if R > 0:
+                    P = Lb[lp["panel_ids"]]                   # (S,R,W,d,d)
+                    Pd = P.transpose(0, 1, 3, 2, 4).reshape(S, R * d, W * d)
+                    xr = x[lp["row_vars"]].reshape(S, R * d)
+                    rhs = rhs - jnp.einsum("sij,si->sj", Pd, xr)
+                xs = jax.lax.linalg.triangular_solve(
+                    Ld, rhs[..., None], left_side=True, lower=True,
+                    transpose_a=True)[..., 0]
+                xb = xs.reshape(S, W, d).reshape(S * W, d)
+                x = x.at[lp["col_vars"].reshape(-1)].set(xb, mode="drop")
+            return x
+
+        self._jit_cache[key] = backward
+        return backward
+
+    def _evict_jit(self, cap: int = 64):
+        """Bound compiled-program memory (old capacity signatures die)."""
+        while len(self._jit_cache) >= cap:
+            oldest = next(iter(self._jit_cache))
+            del self._jit_cache[oldest]
+
+    # -- marginalization ------------------------------------------------------
+
+    def marginalize_leaves(self, keys):
+        """Freeze leaf supernodes whose columns are all in `keys`: their
+        cached Schur complement becomes a permanent prior on the separator
+        and their factors/variables leave the active system (ISAM2::
+        marginalizeLeaves, gtsam/nonlinear/ISAM2.h:192-199)."""
+        vids = {self.key_to_vid[int(k)] for k in keys}
+        frozen_any = False
+        for sid, s in list(self.snodes.items()):
+            if s.frozen or s.children:
+                # only leaves (children must all be frozen)
+                if s.children and all(self.snodes[c].frozen
+                                      for c in s.children) and not s.frozen:
+                    pass
+                else:
+                    continue
+            if not set(s.cols) <= vids:
+                continue
+            # fold the separator-pair contributions of this snode's factors
+            # into the cached U/Urhs (they disappear from future assemblies)
+            self._fold_factor_separator_terms(s)
+            # deactivate factors fully inside cols (weight rows to zero)
+            for v in s.cols:
+                for (si, row) in list(self._vid_factors[v]):
+                    st = self.stores[si]
+                    st.R = st.R.at[row].set(
+                        jnp.zeros_like(st.R[row]))
+                    for w in st.keys[row]:
+                        self._vid_factors[int(w)].discard((si, row))
+            s.frozen = True
+            frozen_any = True
+        return frozen_any
+
+    def _fold_factor_separator_terms(self, s: _SNode):
+        """Add the separator-block H/g contributions of s's factors into the
+        cached U/Urhs so dropping the factors preserves the marginal."""
+        rows = s.rows
+        if not rows:
+            return
+        facs = set()
+        for v in s.cols:
+            facs |= self._vid_factors[v]
+        H, g = self._assemble_subset(facs)
+        r = len(rows)
+        # U entries are stored as blocks (row_a, row_b) with a >= b in the
+        # snode's row order == ascending elimination position, matching the
+        # (later, earlier) orientation of _assemble_subset values.
+        k = 0
+        upd, dsts = [], []
+        for a in range(r):
+            for b in range(a + 1):
+                pr = self._blk_key(rows[a], rows[b])
+                if pr in H:
+                    upd.append(H[pr])
+                    dsts.append(int(s.u_slots[k]))
+                k += 1
+        if upd:
+            self.Ubuf = self.Ubuf.at[jnp.asarray(dsts)].add(
+                jnp.asarray(np.stack(upd)))
+        gupd, gdst = [], []
+        for a, v in enumerate(rows):
+            if v in g:
+                gupd.append(g[v])
+                gdst.append(int(s.urhs_slots[a]))
+        if gupd:
+            self.Urhs = self.Urhs.at[jnp.asarray(gdst)].add(
+                jnp.asarray(np.stack(gupd)))
+
+    def _blk_key(self, a, b):
+        return (a, b) if a <= b else (b, a)
+
+    def _assemble_subset(self, facs):
+        """Host-side tiny assembly of H-block/gradient contributions of the
+        given (store, row) factor set (numpy; used only at marginalization)."""
+        Hd: Dict[tuple, np.ndarray] = {}
+        gd: Dict[int, np.ndarray] = {}
+        d = self.d
+        for (si, row) in facs:
+            st = self.stores[si]
+            types = st.batch.var_types
+            xs = tuple(
+                jax.tree.map(lambda a: a[self.var_row[int(st.keys[row, s])]],
+                             self.var_arrays[t])
+                for s, t in enumerate(types))
+            dims = st.batch.dims()
+            retracts = tuple(manifolds.get(t).retract for t in types)
+            meas_one = jax.tree.map(lambda a: a[row], st.meas)
+
+            def res_tangent(deltas):
+                xs_p = tuple(r(x, dd) for r, x, dd in
+                             zip(retracts, xs, deltas))
+                return st.batch.residual_fn(xs_p, meas_one)
+
+            zeros = tuple(jnp.zeros(dd) for dd in dims)
+            J = jax.jacfwd(res_tangent)(zeros)
+            rres = res_tangent(zeros)
+            R = st.R[row]
+            wJ = [np.asarray(R @ Ji) for Ji in J]
+            b = -np.asarray(R @ rres)
+            for s1 in range(len(types)):
+                v1 = int(st.keys[row, s1])
+                gi = wJ[s1].T @ b
+                gd[v1] = gd.get(v1, np.zeros(d)) + np.pad(
+                    gi, (0, d - dims[s1]))
+                for s2 in range(s1, len(types)):
+                    v2 = int(st.keys[row, s2])
+                    Hij = wJ[s1].T @ wJ[s2]
+                    Hij = np.pad(Hij, ((0, d - dims[s1]), (0, d - dims[s2])))
+                    if self.pos[v1] < self.pos[v2]:
+                        Hij = Hij.T     # orient to (later, earlier)
+                    key = self._blk_key(v1, v2)
+                    Hd[key] = Hd.get(key, np.zeros((d, d))) + Hij
+        return Hd, gd
+
+    # -- estimates ------------------------------------------------------------
+
+    def calculate_estimate(self) -> Values:
+        entries = []
+        for t in self.types:
+            man = manifolds.get(t)
+            for vid in self.type_rows[t]:
+                row = self.var_row[vid]
+                val = jax.tree.map(lambda a: a[row], self.var_arrays[t])
+                if len(self.delta_host):
+                    dd = jnp.asarray(self.delta_host[vid][:man.dim])
+                    val = man.retract(val, dd)
+                entries.append((self.var_key[vid], t, val))
+        return Values.from_entries(entries)
+
+    def estimate_of(self, key):
+        vid = self.key_to_vid[int(key)]
+        t = self.var_type[vid]
+        man = manifolds.get(t)
+        val = jax.tree.map(lambda a: a[self.var_row[vid]], self.var_arrays[t])
+        if len(self.delta_host):
+            val = man.retract(val, jnp.asarray(self.delta_host[vid][:man.dim]))
+        return val
+
+    # -- introspection --------------------------------------------------------
+
+    def stats(self):
+        return dict(
+            nvar=self.nvar, nsuper=len(self.snodes),
+            nlevels=sum(1 for l in self.levels if l),
+            blocks=self.block_pool.top - len(self.block_pool.free),
+            frozen=sum(1 for s in self.snodes.values() if s.frozen))

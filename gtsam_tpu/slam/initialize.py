@@ -105,9 +105,10 @@ def initialize_pose3_chordal(graph: FactorGraph, anchor_key=None) -> Values:
     t = spla.splu((A.T @ A).tocsc()).solve(A.T @ bv).reshape(n, 3)
 
     import jax.numpy as jnp
-    return Values.from_entries(
-        [(k, "SE3", SE3(jnp.asarray(R[idx[k]]), jnp.asarray(t[idx[k]])))
-         for k in keys])
+    # bulk construction: ONE device transfer, not one per key (keys are
+    # sorted, so R/t rows are already in key order)
+    return Values({"SE3": SE3(jnp.asarray(R), jnp.asarray(t))},
+                  {"SE3": np.asarray(keys)})
 
 
 def initialize_pose2_lago(graph: FactorGraph, anchor_key=None) -> Values:
@@ -179,6 +180,5 @@ def initialize_pose2_lago(graph: FactorGraph, anchor_key=None) -> Values:
     xy = spla.splu((A.T @ A).tocsc()).solve(A.T @ np.asarray(rhs)).reshape(n, 2)
 
     import jax.numpy as jnp
-    return Values.from_entries(
-        [(k, "SE2", jnp.asarray([xy[idx[k], 0], xy[idx[k], 1], theta[idx[k]]]))
-         for k in keys])
+    pose = np.concatenate([xy, theta[:, None]], axis=1)  # key order == idx order
+    return Values({"SE2": jnp.asarray(pose)}, {"SE2": np.asarray(keys)})

@@ -1,0 +1,156 @@
+"""ISAM2Tree: incremental == batch equivalence (the reference's core oracle,
+tests/testGaussianISAM2.cpp) plus marginalization behavior."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import gtsam_tpu as gt
+from gtsam_tpu.graph import factors as factors_mod
+from gtsam_tpu.nonlinear.isam2_tree import ISAM2Tree
+
+
+def _se2_between(i, j, meas, sigma=0.1):
+    return factors_mod.between_factors(
+        "SE2", np.asarray([i]), np.asarray([j]), jnp.asarray([meas]),
+        gt.noise.sigmas([[sigma, sigma, sigma]]))
+
+
+def _se2_prior(i, val, sigma=1e-3):
+    return gt.prior_factors("SE2", [i], jnp.asarray([val]),
+                            gt.noise.sigmas([[sigma] * 3]))
+
+
+def _batch_delta(isam: ISAM2Tree):
+    """Batch GN delta at the engine's CURRENT linearization points."""
+    graph = gt.FactorGraph()
+    entries = []
+    for t in isam.types:
+        import jax
+        for vid in isam.type_rows[t]:
+            row = isam.var_row[vid]
+            val = jax.tree.map(lambda a: a[row], isam.var_arrays[t])
+            entries.append((isam.var_key[vid], t, val))
+    from gtsam_tpu.graph.values import Values
+    vals = Values.from_entries(entries)
+    for st in isam.stores:
+        n = st.n
+        if n == 0:
+            continue
+        # rebuild a FactorBatch over the ORIGINAL keys with active rows;
+        # rows whose whitening was zeroed (marginalized) drop out
+        import jax
+        R = np.asarray(st.R[:n])
+        active = np.abs(R).sum(axis=(1, 2)) > 0
+        if not active.any():
+            continue
+        keys = np.asarray([[isam.var_key[int(v)] for v in st.keys[i]]
+                           for i in range(n)])[active]
+        meas = jax.tree.map(lambda a: np.asarray(a[:n])[active], st.meas)
+        batch = factors_mod.FactorBatch(
+            st.batch.name, st.batch.var_types, keys, st.batch.rdim,
+            st.batch.residual_fn, jax.tree.map(jnp.asarray, meas),
+            gt.noise.NoiseModel("gaussian", jnp.asarray(R[active])))
+        graph.add(batch)
+    bound = graph.bind(vals)
+    H, g = bound.gn_system(vals.arrays)
+    dx = np.asarray(jnp.linalg.solve(H, g))
+    # map canonical layout -> per-vid rows
+    layout = vals.layout()
+    out = np.zeros((isam.nvar, isam.d))
+    from gtsam_tpu.graph import manifolds
+    for t in layout.type_order:
+        dim = manifolds.get(t).dim
+        for r, off in enumerate(layout.offsets[t]):
+            key = int(vals.keys[t][r])
+            vid = isam.key_to_vid[key]
+            out[vid, :dim] = dx[int(off):int(off) + dim]
+    return out
+
+
+def _check(isam, atol=1e-8):
+    ref = _batch_delta(isam)
+    got = isam.delta_host[:isam.nvar]
+    np.testing.assert_allclose(got, ref, atol=atol)
+
+
+class TestISAM2Tree:
+    def test_chain_matches_batch(self):
+        isam = ISAM2Tree(relinearize_threshold=1e9)  # pure linear growth
+        rng = np.random.default_rng(0)
+        isam.update([_se2_prior(0, [0.0, 0.0, 0.0])],
+                    [(0, "SE2", jnp.zeros(3))])
+        pose = np.zeros(3)
+        for i in range(1, 12):
+            meas = np.array([1.0, 0.0, 0.1]) + rng.normal(0, 0.02, 3)
+            pose = pose + meas  # rough init
+            isam.update([_se2_between(i - 1, i, meas)],
+                        [(i, "SE2", jnp.asarray(pose))])
+            _check(isam)
+
+    def test_loop_closure_matches_batch(self):
+        isam = ISAM2Tree(relinearize_threshold=1e9)
+        rng = np.random.default_rng(1)
+        isam.update([_se2_prior(0, [0.0, 0.0, 0.0])],
+                    [(0, "SE2", jnp.zeros(3))])
+        for i in range(1, 10):
+            isam.update([_se2_between(i - 1, i, [1.0, 0.0, 0.0])],
+                        [(i, "SE2", jnp.asarray([float(i), 0.0, 0.0])
+                          + rng.normal(0, 0.05, 3))])
+        # loop closures back to early poses
+        isam.update([_se2_between(9, 0, [-9.0, 0.0, 0.0])])
+        _check(isam)
+        isam.update([_se2_between(5, 2, [-3.0, 0.0, 0.0])])
+        _check(isam)
+
+    def test_relinearization(self):
+        isam = ISAM2Tree(relinearize_threshold=0.01, relinearize_skip=1)
+        rng = np.random.default_rng(2)
+        isam.update([_se2_prior(0, [0.0, 0.0, 0.0])],
+                    [(0, "SE2", jnp.zeros(3))])
+        for i in range(1, 8):
+            # deliberately bad initial guesses -> relinearization fires
+            isam.update(
+                [_se2_between(i - 1, i, [1.0, 0.0, 0.05])],
+                [(i, "SE2", jnp.asarray([float(i) + rng.normal(0, 0.3),
+                                         rng.normal(0, 0.3), 0.0]))])
+            _check(isam)
+
+    def test_estimate_converges(self):
+        # after enough relinearized updates, estimate == batch LM optimum
+        isam = ISAM2Tree(relinearize_threshold=1e-6, relinearize_skip=1)
+        graph = gt.FactorGraph()
+        isam.update([_se2_prior(0, [0.0, 0.0, 0.0])],
+                    [(0, "SE2", jnp.zeros(3))])
+        graph.add(_se2_prior(0, [0.0, 0.0, 0.0]))
+        vals_entries = [(0, "SE2", jnp.zeros(3))]
+        for i in range(1, 6):
+            b = _se2_between(i - 1, i, [1.0, 0.0, 0.2])
+            init = jnp.asarray([float(i), 0.1 * i, 0.0])
+            isam.update([b], [(i, "SE2", init)])
+            graph.add(b)
+            vals_entries.append((i, "SE2", init))
+        for _ in range(6):   # extra iterations to converge
+            isam.update()
+        from gtsam_tpu.graph.values import Values
+        res = gt.levenberg_marquardt(
+            graph, Values.from_entries(vals_entries),
+            gt.LMParams(max_iterations=30))
+        est = isam.calculate_estimate()
+        assert abs(float(graph.error(est)) - res.error) < 1e-6
+
+    def test_marginalize_leaves(self):
+        isam = ISAM2Tree(relinearize_threshold=1e9)
+        isam.update([_se2_prior(0, [0.0, 0.0, 0.0])],
+                    [(0, "SE2", jnp.zeros(3))])
+        for i in range(1, 8):
+            isam.update([_se2_between(i - 1, i, [1.0, 0.0, 0.0])],
+                        [(i, "SE2", jnp.asarray([float(i), 0.0, 0.0]))])
+        est_before = np.asarray(isam.estimate_of(7))
+        frozen = isam.marginalize_leaves([0, 1])
+        # posterior on the remaining variables should be preserved:
+        # further (information-free) updates must not shift the estimate
+        isam.update([_se2_between(6, 7, [1.0, 0.0, 0.0], sigma=1e6)])
+        est_after = np.asarray(isam.estimate_of(7))
+        np.testing.assert_allclose(est_after, est_before, atol=1e-6)
+        assert isam.stats()["frozen"] >= 1 or not frozen
