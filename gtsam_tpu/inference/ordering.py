@@ -35,12 +35,33 @@ def adjacency_from_factors(factor_keys: Sequence[np.ndarray], n: int) -> sp.csr_
     return A
 
 
-def minimum_degree(adj: sp.csr_matrix) -> np.ndarray:
-    """Fill-reducing permutation: perm[i] = original index eliminated i-th."""
+def minimum_degree(adj: sp.csr_matrix,
+                   constrained_last=None) -> np.ndarray:
+    """Fill-reducing permutation: perm[i] = original index eliminated i-th.
+
+    Uses the native C AMD (approximate minimum degree on the quotient graph
+    with mass elimination and element absorption — the CCOLAMD-class heuristic
+    the reference vendors, gtsam/inference/Ordering.cpp:23) when available;
+    falls back to SuperLU's MMD, then RCM.  `constrained_last` (bool mask)
+    forces those variables to the end (ColamdConstrainedLast analog,
+    Ordering.h:112)."""
     n = adj.shape[0]
     if n <= 1:
         return np.arange(n)
-    A = (adj + adj.T + sp.eye(n, format="csr")).astype(np.float64)
+    As = ((adj + adj.T) > 0).astype(np.int8).tocsr()
+    try:
+        from ..native import amd_order_native
+        perm = amd_order_native(n, As.indptr, As.indices, constrained_last)
+        if perm is not None:
+            return perm
+    except Exception:
+        pass
+    A = (As + sp.eye(n, format="csr")).astype(np.float64)
+    if constrained_last is not None:
+        last = np.where(np.asarray(constrained_last))[0]
+        rest = np.setdiff1d(np.arange(n), last)
+        sub = A[rest][:, rest]
+        return np.concatenate([rest[minimum_degree(sub)], last])
     try:
         from scipy.sparse.linalg import splu
         lu = splu(A.tocsc(), permc_spec="MMD_AT_PLUS_A",

@@ -74,7 +74,21 @@ class SupernodalCholeskySolver:
     Built once per (graph structure, values structure); all methods jit-safe.
     """
 
-    def __init__(self, bound: BoundGraph, order: str = "nd",
+    @staticmethod
+    def _level_cost(sym, level_overhead_flops: float = 2e6):
+        """Device cost model of a supernodal schedule: padded dense-front
+        flops per level plus a fixed per-level dispatch/latency charge."""
+        total = 0.0
+        for sids in sym.levels:
+            widths = sym.snode_width[sids]
+            rs = np.asarray([len(sym.snode_rows[s]) for s in sids])
+            W = int(widths.max())
+            R = int(rs.max()) if len(rs) else 0
+            F = W + R
+            total += len(sids) * (float(F) ** 2) * W + level_overhead_flops
+        return total
+
+    def __init__(self, bound: BoundGraph, order: str = "auto",
                  relax_tau: float = 0.3, force_width: int = 16,
                  max_width: int = 64):
         layout = bound.layout
@@ -103,15 +117,30 @@ class SupernodalCholeskySolver:
             factor_keys.append(ids)
 
         adj = ordering_mod.adjacency_from_factors(factor_keys, self.nvars)
+        kw = dict(relax_tau=relax_tau, force_width=force_width,
+                  max_width=max_width)
         if order == "natural":
-            perm = ordering_mod.natural(self.nvars)
+            sym = sn_mod.analyze_supernodal(
+                adj, ordering_mod.natural(self.nvars), **kw)
         elif order == "amd":
-            perm = ordering_mod.minimum_degree(adj)
+            sym = sn_mod.analyze_supernodal(
+                adj, ordering_mod.minimum_degree(adj), **kw)
+        elif order == "nd":
+            sym = sn_mod.analyze_supernodal(
+                adj, ordering_mod.nested_dissection(adj), **kw)
         else:
-            perm = ordering_mod.nested_dissection(adj)
-        sym = sn_mod.analyze_supernodal(adj, perm, relax_tau=relax_tau,
-                                        force_width=force_width,
-                                        max_width=max_width)
+            # auto: analyze both AMD and nested dissection, pick by a device
+            # cost model (padded level flops + per-level dispatch overhead —
+            # levels are sequential on TPU, so tree depth is a first-class
+            # cost, not just fill; reference picks COLAMD vs METIS statically,
+            # Ordering.h:41)
+            cands = []
+            for nm, p in (("amd", ordering_mod.minimum_degree(adj)),
+                          ("nd", ordering_mod.nested_dissection(adj))):
+                s = sn_mod.analyze_supernodal(adj, p, **kw)
+                cands.append((self._level_cost(s), nm, s))
+            cands.sort(key=lambda t: t[0])
+            sym = cands[0][2]
         self.sym = sym
         n, d = self.nvars, self.d
         B = sym.nnz_blocks

@@ -13,12 +13,13 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "libgtsam_native.so")
 _SRC = os.path.join(_HERE, "src", "symbolic.c")
+_SRC_AMD = os.path.join(_HERE, "src", "amd.c")
 
 _lib = None
 
 
 def _build():
-    cmd = ["gcc", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC]
+    cmd = ["gcc", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC, _SRC_AMD]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -30,12 +31,14 @@ def get_lib():
         return None
     try:
         if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC_AMD)):
             _build()
         lib = ctypes.CDLL(_SO)
         lib.symbolic_analyze.restype = ctypes.c_int64
         lib.count_triples.restype = ctypes.c_int64
         lib.emit_triples.restype = ctypes.c_int64
+        lib.amd_order.restype = ctypes.c_int32
         _lib = lib
     except Exception:
         _lib = None
@@ -95,3 +98,27 @@ def emit_triples_native(n, struct_indptr, struct_rows, sub_base, dblock,
         _ptr(t_ik, ctypes.c_int32), _ptr(t_jk, ctypes.c_int32),
         _ptr(t_level, ctypes.c_int32), _ptr(level_of_col, ctypes.c_int32))
     return t_target, t_ik, t_jk, t_level
+
+
+def amd_order_native(n, indptr, indices, constrained_last=None):
+    """AMD fill-reducing ordering (native C); returns perm or None.
+
+    constrained_last: optional bool mask — True entries are ordered last
+    (reference ColamdConstrainedLast, gtsam/inference/Ordering.h:112)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    perm = np.empty(n, dtype=np.int32)
+    if constrained_last is not None:
+        cmask = np.ascontiguousarray(constrained_last, dtype=np.uint8)
+        cptr = _ptr(cmask, ctypes.c_uint8)
+    else:
+        cptr = None
+    rc = lib.amd_order(ctypes.c_int32(n), _ptr(indptr, ctypes.c_int64),
+                       _ptr(indices, ctypes.c_int32),
+                       _ptr(perm, ctypes.c_int32), cptr)
+    if rc != 0:
+        return None
+    return perm.astype(np.int64)
