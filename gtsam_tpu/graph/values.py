@@ -62,6 +62,19 @@ class Values:
         out._layout = self._layout
         return out
 
+    def subset(self, keys) -> "Values":
+        """Values restricted to `keys` (Values::extract analog, Values.h)."""
+        want = {int(k) for k in keys}
+        arrays: Dict[str, Any] = {}
+        out_keys: Dict[str, np.ndarray] = {}
+        for t, ks in self.keys.items():
+            rows = np.asarray([i for i, k in enumerate(ks)
+                               if int(k) in want], dtype=np.int32)
+            if len(rows):
+                arrays[t] = jax.tree.map(lambda a: a[rows], self.arrays[t])
+                out_keys[t] = ks[rows]
+        return Values(arrays, out_keys)
+
     # -- lookup ------------------------------------------------------------
 
     def __len__(self):
