@@ -46,7 +46,7 @@ def main():
     prob = synthetic.make_bal_problem(num_cameras=M, num_points=N,
                                       obs_per_point=OPP, seed=0)
 
-    lm_params = gt.LMParams(max_iterations=10)
+    lm_params = gt.LMParams(max_iterations=30, relative_error_tol=1e-5)
     # single run; iteration 1 pays trace+compile, iterations 2+ are warm
     t0 = time.time()
     _vals, info = ba.ba_optimize(prob, lm_params, mixed_precision=True)
