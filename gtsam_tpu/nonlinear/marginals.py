@@ -43,18 +43,23 @@ class Marginals:
         dim = manifolds.get(t).dim
         return off, dim
 
+    def _selected_columns(self, idx: np.ndarray) -> jnp.ndarray:
+        """Columns idx of H^{-1} via ONE vmapped batched solve (the reference
+        solves per column; on TPU the whole unit-vector batch rides a single
+        level-scheduled back-substitution program)."""
+        eye_cols = jnp.zeros((len(idx), self.layout.total_dim)
+                             ).at[jnp.arange(len(idx)), jnp.asarray(idx)].set(1.0)
+        gp = jax.vmap(self._g_padded)(eye_cols)
+        xs = jax.vmap(lambda g: self._solver.solve_factored(self._factored, g)
+                      )(gp)                         # (n_idx, total_dim)
+        return xs
+
     def marginal_covariance(self, key) -> jnp.ndarray:
         off, dim = self._slice(key)
         if self._solver is None:
             return self._cov[off:off + dim, off:off + dim]
-        # selected solve: columns e_off..e_off+dim of H^{-1}
-        cols = []
-        for k in range(dim):
-            g = jnp.zeros(self.layout.total_dim).at[off + k].set(1.0)
-            gp = self._g_padded(g)
-            x = self._solver.solve_factored(self._factored, gp)
-            cols.append(x[off:off + dim])
-        return jnp.stack(cols, axis=1)
+        xs = self._selected_columns(np.arange(off, off + dim))
+        return xs[:, off:off + dim].T
 
     def _g_padded(self, flat_g):
         """Canonical flat vector -> solver's permuted padded (nvars, d) layout."""
@@ -72,12 +77,8 @@ class Marginals:
         idx = np.concatenate([np.arange(o, o + d) for o, d in slices])
         if self._solver is None:
             return self._cov[np.ix_(idx, idx)]
-        cols = []
-        for k in idx:
-            g = jnp.zeros(self.layout.total_dim).at[int(k)].set(1.0)
-            x = self._solver.solve_factored(self._factored, self._g_padded(g))
-            cols.append(x[idx])
-        return jnp.stack(cols, axis=1)
+        xs = self._selected_columns(idx)
+        return xs[:, jnp.asarray(idx)].T
 
     def marginal_information(self, key) -> jnp.ndarray:
         return jnp.linalg.inv(self.marginal_covariance(key))
