@@ -15,6 +15,7 @@ with the sparse supernodal path (linear/) used for large ones.
 
 import dataclasses
 import math
+from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -123,6 +124,39 @@ class DenseSolver:
         return _dense_solve(H, g, lam, diagonal_damping)
 
 
+def _soften_constraints(bound, weight: float):
+    """Bound graph with sigma==0 rows replaced by weight-`weight` soft rows.
+
+    The TPU-native sparse path for Constrained noise is the METHOD OF
+    WEIGHTING (the reference pivots constrained rows in QR, NoiseModel.h:514 —
+    dynamic pivoting is hostile to static-shape level-scheduled kernels):
+    hard rows enter the normal equations with precision weight^2, giving
+    constraint violation O(weight^-2) — ~1e-10 relative at the f64 default
+    (the weight balances constraint bias against Cholesky cancellation of the
+    soft information, which grows as weight^2 * eps).
+    Exactness vs the dense KKT path is covered by tests/test_constrained.py.
+    Structures/layout are shared with the original bound graph (noise does not
+    affect symbolic structure)."""
+    import copy
+
+    from ..base.noise import NoiseModel
+
+    batches = []
+    for b in bound.graph.batches:
+        nz = b.noise
+        if nz.kind == "constrained":
+            data = jnp.where(jnp.asarray(nz.data) == 0, weight,
+                             jnp.asarray(nz.data))
+            b = dataclasses.replace(
+                b, noise=NoiseModel("diagonal", data, nz.loss, nz.mu))
+        batches.append(b)
+    soft = copy.copy(bound)
+    soft.graph = type(bound.graph)(batches)
+    soft._constraints = []
+    soft.num_constraints = 0
+    return soft
+
+
 class SparseSolver:
     """Sparse block Cholesky.
 
@@ -130,18 +164,23 @@ class SparseSolver:
     factorization (linear/supernodal.py) — batched dense fronts per assembly
     tree level, full diagonal-damping support, pivot failure detection.
     method='levels': the per-variable level schedule (linear/sparse.py).
+
+    Constrained (sigma == 0) rows are handled by the method of weighting
+    (see _soften_constraints); constraint_weight defaults per dtype.
     """
 
-    def __init__(self, order: str = "nd", method: str = "supernodal"):
+    def __init__(self, order: str = "nd", method: str = "supernodal",
+                 constraint_weight: Optional[float] = None):
         self._order = order
         self._method = method
+        self._cweight = constraint_weight
 
     def bind(self, bound):
         if getattr(bound, "num_constraints", 0):
-            raise NotImplementedError(
-                "exact constrained (sigma == 0) rows require DenseSolver; "
-                "use noise.sigmas (large-precision approximation) with the "
-                "sparse solver")
+            w = self._cweight
+            if w is None:
+                w = 1e5 if jnp.result_type(float) == jnp.float64 else 3e2
+            bound = _soften_constraints(bound, w)
         if self._method == "supernodal":
             from ..linear.supernodal import SupernodalCholeskySolver
             self._s = SupernodalCholeskySolver(bound, order=self._order)

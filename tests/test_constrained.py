@@ -110,9 +110,9 @@ def test_nonlinear_equality_exact_se2():
     np.testing.assert_allclose(x0, target[0], atol=1e-7)
 
 
-def test_sparse_solver_rejects_constraints():
-    import pytest
-
+def test_sparse_solver_weighted_constraints():
+    """SparseSolver now accepts sigma==0 rows (method of weighting): the
+    optimum satisfies the hard prior to weighting precision."""
     v = _linear_chain_values(2)
     g = FactorGraph()
     g.add(factors_mod.prior_factors(
@@ -120,8 +120,9 @@ def test_sparse_solver_rejects_constraints():
         noise_mod.constrained(np.zeros((1, 2)))))
     g.add(factors_mod.between_factors(
         "Vec2", [0], [1], np.ones((1, 2)), noise_mod.isotropic(2, 1.0)))
-    with pytest.raises(NotImplementedError):
-        opt.gauss_newton(g, v, solver=opt.SparseSolver())
+    res = opt.gauss_newton(g, v, solver=opt.SparseSolver())
+    x0 = np.asarray(res.values.at(0))
+    np.testing.assert_allclose(x0, 0.0, atol=1e-6)
 
 
 def test_fused_lm_matches_host_lm():
@@ -152,3 +153,38 @@ def test_fused_lm_with_constraints():
     res = opt.levenberg_marquardt_fused(g, v, gt.LMParams(max_iterations=20))
     x0 = np.asarray(res.values.arrays["SE2"][0])
     np.testing.assert_allclose(x0, target[0], atol=1e-7)
+
+
+class TestSparseConstrainedWeighting:
+    """Sparse solver handles sigma==0 rows via the method of weighting;
+    step must match the dense exact-KKT path to tight tolerance."""
+
+    def test_sparse_matches_dense_kkt(self):
+        import numpy as np
+        import jax.numpy as jnp
+        import gtsam_tpu as gt
+        from gtsam_tpu.optimize.optimizers import DenseSolver, SparseSolver
+
+        rng = np.random.default_rng(7)
+        n = 30
+        # 1D chain with a hard equality between pose 10 and 11 (sigma = 0)
+        g = gt.FactorGraph()
+        g.add(gt.prior_factors("Vec1", [0], np.zeros((1, 1)),
+                               gt.noise.isotropic(1, 0.1)))
+        meas = rng.normal(scale=1.0, size=(n - 1, 1))
+        g.add(gt.between_factors("Vec1", list(range(n - 1)),
+                                 list(range(1, n)), meas,
+                                 gt.noise.isotropic(1, 0.5)))
+        g.add(gt.between_factors("Vec1", [10], [11], np.asarray([[2.5]]),
+                                 gt.noise.constrained([[0.0]])))
+        vals = gt.Values.from_entries(
+            [(i, "Vec1", jnp.asarray([0.1 * i])) for i in range(n)])
+        bound = g.bind(vals)
+        dsys = DenseSolver().bind(bound)
+        d_delta = np.asarray(dsys.solve(dsys.system(vals.arrays), 0.0, False))
+        s = SparseSolver().bind(bound)
+        s_delta = np.asarray(s.solve(s.system(vals.arrays), 0.0, False))
+        np.testing.assert_allclose(s_delta, d_delta, atol=5e-6)
+        # the hard constraint is satisfied by the sparse step
+        x = np.asarray([0.1 * i for i in range(n)]) + s_delta
+        assert abs((x[11] - x[10]) - 2.5) < 1e-5
