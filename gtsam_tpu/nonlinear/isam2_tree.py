@@ -697,7 +697,13 @@ class ISAM2Tree:
                 cols, rows = s.cols, s.rows
                 w, r = len(cols), len(rows)
                 fvars = cols + rows
-                fpos = {v: i for i, v in enumerate(fvars)}
+                # front SLOT of each fvar: cols at [0, w), rows at [W, W+r) —
+                # when w < W (padded width bucket) the row region still starts
+                # at W, NOT at w; placing rows at their fvar index would land
+                # them inside padded column slots and make Fcc indefinite
+                fslot = {v: (i if i < w else W + (i - w))
+                         for i, v in enumerate(fvars)}
+                slots = [fslot[v] for v in fvars]
                 for a in range(w):
                     col_vars[si, a] = cols[a]
                     dim = manifolds.get(self.var_type[cols[a]]).dim
@@ -705,18 +711,18 @@ class ISAM2Tree:
                     pad_cols[si, a * d + dim:(a + 1) * d] = 1.0
                 for a in range(w, W):
                     pad_cols[si, a * d:(a + 1) * d] = 1.0
-                # A-block gather: lower strip (fi >= fj, fj < w).  Stored
-                # blocks hold H[later, earlier]; front order IS elimination
-                # order, so (fi > fj) already matches — no flips needed.
+                # A-block gather: lower strip (slot_i >= slot_j, fj < w).
+                # Stored blocks hold H[later, earlier]; front order IS
+                # elimination order, so (fi > fj) already matches — no flips.
                 for fj in range(w):
                     for fi in range(fj, w + r):
                         va, vb = fvars[fi], fvars[fj]
-                        a_pos.append((si * F + fi) * W + fj)
+                        a_pos.append((si * F + slots[fi]) * W + fj)
                         a_blk.append(self._blk_get(va, vb))
                 # extend-add children U and u_rhs
                 for c in s.children:
                     cs = self.snodes[c]
-                    cmap = [fpos[v] for v in cs.rows]
+                    cmap = [fslot[v] for v in cs.rows]
                     k = 0
                     for a in range(len(cs.rows)):
                         for b in range(a + 1):
@@ -732,7 +738,7 @@ class ISAM2Tree:
                 for fj in range(w):
                     for fi in range(fj, w + r):
                         va, vb = fvars[fi], fvars[fj]
-                        lo_src.append((si * F + fi) * W + fj)
+                        lo_src.append((si * F + slots[fi]) * W + fj)
                         lo_dst.append(self._blk_get(va, vb))
                 k = 0
                 for a in range(r):
