@@ -57,6 +57,14 @@ class SchurStructure:
     cam_buckets: tuple     # ((pos0, n_runs, P), ...) pow2-padded dense buckets
     cam_tail: None         # unused (kept for layout symmetry)
     cam_ids: np.ndarray    # (Mu,) camera id per reduced run (bucket order)
+    # symmetric (undirected) cell plan — round-2 fast path: per-track-group
+    # upper pairs computed by einsum in TRACK order (no per-pair gathers),
+    # then ONE fused gather to pow2-padded cell-sorted buckets.
+    sym_groups: tuple = ()     # ((row0, n, l, iu, ju, swap(n,Pl)), ...)
+    sym_pad_idx: np.ndarray = None  # (Rp,) padded gather into upper-pair rows
+    sym_buckets: tuple = ()    # ((pos0, n_runs, Pw), ...) over sym_pad_idx
+    sym_cells: np.ndarray = None    # (Uu,) flat min*M+max cell per reduced run
+    sym_tail_rows: np.ndarray = None  # rows into upper-pairs for tail pairs
 
     @staticmethod
     def build(obs_cam, obs_pt, num_cameras, num_points) -> "SchurStructure":
@@ -116,12 +124,59 @@ class SchurStructure:
         cam_pad_idx, cam_buckets, kgorder = _pow2_pad_plan(
             kam_order0, kfirst, kcounts, sentinel=len(oc))
         cam_ids = kam_ids[kgorder].astype(np.int32)
+
+        # --- symmetric (undirected) cell plan: only when every track fits a
+        # dense length group (pt_tail None).  Upper pairs are computed by
+        # per-group einsum in TRACK order (zero per-pair gathers), value
+        # ordered by camera id (swap mask; S[min,max] block), then one fused
+        # pow2-padded gather reduces them into cell-sorted buckets; the
+        # assemble step mirrors off-diagonal cells by lane transpose.
+        sym_groups = ()
+        sym_pad_idx = sym_buckets = sym_cells = None
+        if tail is None:
+            ia_parts, ib_parts, swap_parts, diag_parts, cell_parts = \
+                [], [], [], [], []
+            for (r0, ng, l) in groups:
+                iu, ju = np.triu_indices(l)
+                base = (r0 + np.arange(ng, dtype=np.int64)[:, None] * l)
+                ia_parts.append((base + iu[None, :]).reshape(-1))
+                ib_parts.append((base + ju[None, :]).reshape(-1))
+                oc_g = oc[r0:r0 + ng * l].reshape(ng, l)
+                cam_u = oc_g[:, iu].astype(np.int64)
+                cam_v = oc_g[:, ju].astype(np.int64)
+                swap_parts.append((cam_u > cam_v).reshape(-1))
+                diag_parts.append(
+                    ((cam_u == cam_v) & (iu != ju)[None, :]).reshape(-1))
+                cell_parts.append((np.minimum(cam_u, cam_v) * num_cameras
+                                   + np.maximum(cam_u, cam_v)).reshape(-1))
+            cells_half = (np.concatenate(cell_parts) if cell_parts
+                          else np.zeros(0, np.int64))
+            Ptot = len(cells_half)
+            # compose the cell sort INTO the operand gather indices, so the
+            # product rows are BORN in cell-sorted order (one gather each,
+            # no reorder pass)
+            cperm = np.argsort(cells_half, kind="stable")
+            ia = np.concatenate(ia_parts)[cperm].astype(np.int32)
+            ib = np.concatenate(ib_parts)[cperm].astype(np.int32)
+            swap = np.concatenate(swap_parts)[cperm]
+            diagp = np.concatenate(diag_parts)[cperm]
+            cs = cells_half[cperm]
+            cuniq, cfirst2, ccnt2 = np.unique(cs, return_index=True,
+                                              return_counts=True)
+            sym_pad_idx, sym_buckets_l, crun_order = _pow2_pad_plan(
+                np.arange(Ptot, dtype=np.int32), cfirst2, ccnt2,
+                sentinel=Ptot)
+            sym_cells = cuniq[crun_order].astype(np.int64)
+            sym_groups = (ia, ib, swap, diagp)
+            sym_buckets = tuple(sym_buckets_l)
+
         return SchurStructure(
             oc, op, obs_pt_new, point_perm, tuple(groups), tail,
             pa[pair_order], pb[pair_order],
             cu[cgorder].astype(np.int64), tuple(cgroups), ctail,
             num_cameras, num_points,
-            cam_pad_idx, tuple(cam_buckets), None, cam_ids), order
+            cam_pad_idx, tuple(cam_buckets), None, cam_ids,
+            sym_groups, sym_pad_idx, sym_buckets, sym_cells, None), order
 
 
 _GROUP_CAP = 64
@@ -225,6 +280,21 @@ def _grouped_reduce(rows, groups, tail):
     return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
+def _flat_mm(X, Y, p, q, r):
+    """Row-batched (p, q) @ (q, r) on FLAT-LANE storage: X (N, p*q) row-major,
+    Y (N, q*r) row-major -> (N, p*r).  q static lane-gather multiplies — never
+    materializes (N, p, q) trailing dims (TPU tiles pad them ~25x) and never
+    stacks (N, 1) columns (each pads to 128 lanes)."""
+    pr_lanes = np.arange(p * r)
+    out = None
+    for j in range(q):
+        A = jnp.asarray((pr_lanes // r) * q + j)
+        B = jnp.asarray(j * r + pr_lanes % r)
+        t = X[:, A] * Y[:, B]
+        out = t if out is None else out + t
+    return out
+
+
 def _invert_3x3_psd(H, lam):
     """Batched damped inverse of (N,3,3) PSD blocks."""
     Hd = H + lam * jnp.eye(3, dtype=H.dtype)
@@ -303,66 +373,99 @@ def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False,
         C = _invert_3x3_psd(Hll.reshape(-1, 3, 3), lam).reshape(-1, 9)
 
     # reduced gradient: gp_tilde = gp - sum_k W_k C_{pt_k} gl_{pt_k}
-    Cg = jnp.stack([(C[:, 3 * i:3 * i + 3] * gl).sum(-1)
-                    for i in range(3)], axis=-1)                 # (Ns, 3)
+    Cg = _flat_mm(C, gl, 3, 3, 1)                                # (Ns, 3)
     Cgk = Cg[obs_pt_new]
-    corr = jnp.stack([(W[:, 3 * i:3 * i + 3] * Cgk).sum(-1)
-                      for i in range(9)], axis=-1)               # (K, 9)
+    corr = _flat_mm(W, Cgk, 9, 3, 1)                             # (K, 9)
     gp_t = gp - cam_reduce(corr)
 
     # WC_k = W_k C_{pt_k}, flat 27-wide (i*3+l)
     Ck = C[obs_pt_new]
-    WC = jnp.stack(
-        [W[:, 3 * i + 0] * Ck[:, 0 + l] + W[:, 3 * i + 1] * Ck[:, 3 + l]
-         + W[:, 3 * i + 2] * Ck[:, 6 + l]
-         for i in range(9) for l in range(3)], axis=-1)          # (K, 27)
+    WC = _flat_mm(W, Ck, 9, 3, 3)                                # (K, 27)
 
-    # reduced camera matrix: S[ca, cb] -= WC_a W_b^T over directed track pairs,
-    # grouped by destination cell run so the reduction is contiguous
-    iW = np.repeat(np.arange(9), 9)
-    lW = np.tile(np.arange(9), 9)
-    pa_all = jnp.asarray(st.pair_a)
-    pb_all = jnp.asarray(st.pair_b)
-
-    def _pair_rows(sl):
-        wc = WC[pa_all[sl]]
-        w = W[pb_all[sl]]
-        acc = wc[:, 3 * iW + 0] * w[:, 3 * lW + 0]
-        acc = acc + wc[:, 3 * iW + 1] * w[:, 3 * lW + 1]
-        acc = acc + wc[:, 3 * iW + 2] * w[:, 3 * lW + 2]
-        return acc                                               # (p, 81)
-
-    CHUNK = 1 << 17
-    cell_parts = []
-    for (p0, n, l) in st.cell_groups:
-        ncell_chunk = max(1, CHUNK // l)
-        subs = []
-        for c0 in range(0, n, ncell_chunk):
-            nc = min(ncell_chunk, n - c0)
-            sl = slice(p0 + c0 * l, p0 + (c0 + nc) * l)
-            subs.append(_pair_rows(sl).reshape(nc, l, 81).sum(1))
-        cell_parts.append(jnp.concatenate(subs) if len(subs) > 1 else subs[0])
-    if st.cell_tail is not None:
-        t0, seg_ids, nseg = st.cell_tail
-        acc = jnp.zeros((nseg, 81), dtype=dt)
-        P_tail = len(st.pair_a) - t0
-        for c0 in range(0, P_tail, CHUNK):
-            sl = slice(t0 + c0, t0 + min(c0 + CHUNK, P_tail))
-            acc = acc + jax.ops.segment_sum(
-                _pair_rows(sl), jnp.asarray(seg_ids[c0:c0 + CHUNK]), nseg)
-        cell_parts.append(acc)
-    U = len(st.cell_unique)
-    if cell_parts:
-        cellsum = (jnp.concatenate(cell_parts)
-                   if len(cell_parts) > 1 else cell_parts[0])
-    else:
-        cellsum = jnp.zeros((0, 81), dtype=dt)
-
-    # assemble S on the flat (M*M, 81) layout (81-lane rows tile cleanly;
-    # a (M,9,M,9) windowed scatter would materialize a (9,9,M^2) temp)
+    # reduced camera matrix: S[ca, cb] -= WC_a W_b^T over track pairs
     Sflat = jnp.zeros((M * M, 81), dtype=dt)
-    if U:
-        Sflat = Sflat.at[jnp.asarray(st.cell_unique)].set(-cellsum)
+    if st.sym_groups:
+        # fast path: undirected upper pairs; the cell sort is composed into
+        # the operand gather indices so product rows are BORN cell-sorted
+        # (flat 81-lane products only — (…,9,9) trailing dims tile to 25x
+        # HBM padding), then a pow2-padded contiguous bucket reduce; the
+        # assemble mirrors off-diagonal cells by lane transpose.
+        _T81 = (np.arange(81).reshape(9, 9).T).reshape(-1)
+        iW = np.repeat(np.arange(9), 9)
+        lW = np.tile(np.arange(9), 9)
+        ia, ib, swap, diagp = st.sym_groups
+        wcp = WC[jnp.asarray(ia)]                             # (Ph, 27)
+        wvp = W[jnp.asarray(ib)]
+        pr = wcp[:, 3 * iW + 0] * wvp[:, 3 * lW + 0]
+        pr = pr + wcp[:, 3 * iW + 1] * wvp[:, 3 * lW + 1]
+        pr = pr + wcp[:, 3 * iW + 2] * wvp[:, 3 * lW + 2]     # (Ph, 81)
+        prT = pr[:, jnp.asarray(_T81)]
+        sw = jnp.asarray(swap)[:, None]
+        out = jnp.where(sw, prT, pr)
+        if diagp.any():
+            # same-camera off-diagonal pair inside one track: the directed
+            # sum contributes X + X^T to the diagonal cell
+            out = jnp.where(jnp.asarray(diagp)[:, None], pr + prT, out)
+        ext = jnp.concatenate([out, jnp.zeros((1, 81), dtype=dt)])
+        gat = ext[jnp.asarray(st.sym_pad_idx)]
+        red = jnp.concatenate(
+            [gat[p0:p0 + nr * Pw].reshape(nr, Pw, 81).sum(1)
+             for (p0, nr, Pw) in st.sym_buckets]) \
+            if len(st.sym_buckets) > 1 else \
+            gat.reshape(st.sym_buckets[0][1], st.sym_buckets[0][2], 81).sum(1)
+        Sflat = Sflat.at[jnp.asarray(st.sym_cells)].set(-red)
+        ca_h, cb_h = np.divmod(st.sym_cells, M)
+        off = np.flatnonzero(ca_h != cb_h)
+        if len(off):
+            mirror = cb_h[off] * M + ca_h[off]
+            Sflat = Sflat.at[jnp.asarray(mirror)].set(
+                -red[jnp.asarray(off)][:, jnp.asarray(_T81)])
+    else:
+        # general path (long-track tail present): directed pairs, grouped by
+        # destination cell run so the reduction is contiguous
+        iW = np.repeat(np.arange(9), 9)
+        lW = np.tile(np.arange(9), 9)
+        pa_all = jnp.asarray(st.pair_a)
+        pb_all = jnp.asarray(st.pair_b)
+
+        def _pair_rows(sl):
+            wc = WC[pa_all[sl]]
+            w = W[pb_all[sl]]
+            acc = wc[:, 3 * iW + 0] * w[:, 3 * lW + 0]
+            acc = acc + wc[:, 3 * iW + 1] * w[:, 3 * lW + 1]
+            acc = acc + wc[:, 3 * iW + 2] * w[:, 3 * lW + 2]
+            return acc                                           # (p, 81)
+
+        CHUNK = 1 << 17
+        cell_parts = []
+        for (p0, n, l) in st.cell_groups:
+            ncell_chunk = max(1, CHUNK // l)
+            subs = []
+            for c0 in range(0, n, ncell_chunk):
+                nc = min(ncell_chunk, n - c0)
+                sl = slice(p0 + c0 * l, p0 + (c0 + nc) * l)
+                subs.append(_pair_rows(sl).reshape(nc, l, 81).sum(1))
+            cell_parts.append(jnp.concatenate(subs)
+                              if len(subs) > 1 else subs[0])
+        if st.cell_tail is not None:
+            t0, seg_ids, nseg = st.cell_tail
+            acc = jnp.zeros((nseg, 81), dtype=dt)
+            P_tail = len(st.pair_a) - t0
+            for c0 in range(0, P_tail, CHUNK):
+                sl = slice(t0 + c0, t0 + min(c0 + CHUNK, P_tail))
+                acc = acc + jax.ops.segment_sum(
+                    _pair_rows(sl), jnp.asarray(seg_ids[c0:c0 + CHUNK]), nseg)
+            cell_parts.append(acc)
+        U = len(st.cell_unique)
+        if cell_parts:
+            cellsum = (jnp.concatenate(cell_parts)
+                       if len(cell_parts) > 1 else cell_parts[0])
+        else:
+            cellsum = jnp.zeros((0, 81), dtype=dt)
+        # assemble on the flat (M*M, 81) layout (81-lane rows tile cleanly;
+        # a (M,9,M,9) windowed scatter would materialize a (9,9,M^2) temp)
+        if U:
+            Sflat = Sflat.at[jnp.asarray(st.cell_unique)].set(-cellsum)
     diag_idx = jnp.arange(M, dtype=jnp.int32)
     if diagonal_damping:
         damp = lam * Hpp[:, _I9 == _J9]
@@ -378,11 +481,15 @@ def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False,
 
     # back-substitute landmarks: dl = C (gl - W^T dc)
     dck = dc[seg_cam]                                            # (K, 9)
-    Wt_dc = jnp.stack([(W[:, _J93 == j] * dck).sum(-1)
-                       for j in range(3)], axis=-1)              # (K, 3)
+    # W^T dc: out lane j = sum_i W[:, 3i+j] * dck[:, i] — expand dck across
+    # the 27 lanes, then 3-lane strided sums (all flat-lane, no stacks)
+    tmp = W * dck[:, jnp.asarray(np.arange(27) // 3)]            # (K, 27)
+    Wt_dc = None
+    for i in range(9):
+        sl = tmp[:, jnp.asarray([3 * i, 3 * i + 1, 3 * i + 2])]
+        Wt_dc = sl if Wt_dc is None else Wt_dc + sl              # (K, 3)
     rhs_l = gl - _grouped_reduce(Wt_dc, st.pt_groups, st.pt_tail)
-    dl_new = jnp.stack([(C[:, 3 * i:3 * i + 3] * rhs_l).sum(-1)
-                        for i in range(3)], axis=-1)             # (Ns, 3)
+    dl_new = _flat_mm(C, rhs_l, 3, 3, 1)                         # (Ns, 3)
     dl = jnp.zeros((N, 3), dtype=dt)
     dl = dl.at[jnp.asarray(st.point_perm[:Ns])].set(dl_new)
     return dc, dl
