@@ -30,6 +30,10 @@ class PreintegrationParams:
     bias_acc_sigma: float = 0.1      # bias random walk (CombinedImuFactor)
     bias_omega_sigma: float = 0.01
     bias_acc_omega_init: float = 1e-1
+    # earth-rotation (Coriolis) correction, nav frame; None disables
+    # (PreintegrationParams.h omegaCoriolis / use2ndOrderCoriolis)
+    omega_coriolis: Optional[tuple] = None
+    use_2nd_order_coriolis: bool = False
 
 
 class PIM(NamedTuple):
@@ -184,9 +188,32 @@ def bias_corrected_delta(pim: PIM, bias):
     return (pim.zeta + pim.H_bias_acc @ incr[:3] + pim.H_bias_omega @ incr[3:])
 
 
+def coriolis(state: NavState, dt, omega, second_order: bool = False):
+    """NavState::coriolis (NavState.cpp:214): earth-rotation correction.
+
+    Perturbations are formed in the nav frame (-dt*omega rotation drag,
+    -dt^2 omega x v position, -2 dt omega x v velocity, optional centripetal
+    omega x omega x t second-order terms) then unrotated into the body frame,
+    matching the reference exactly."""
+    omega = jnp.asarray(omega, dtype=state.p.dtype)
+    dt2 = dt * dt
+    omega_cross_vel = jnp.cross(omega, state.v)
+    n_dR = (-dt) * omega
+    n_dP = (-dt2) * omega_cross_vel
+    n_dV = (-2.0 * dt) * omega_cross_vel
+    if second_order:
+        omega_cross2_t = jnp.cross(omega, jnp.cross(omega, state.p))
+        n_dP = n_dP - (0.5 * dt2) * omega_cross2_t
+        n_dV = n_dV - dt * omega_cross2_t
+    Rt = jnp.swapaxes(state.R, -1, -2)
+    return jnp.concatenate([Rt @ n_dR, Rt @ n_dP, Rt @ n_dV])
+
+
 def correct_pim(state_i: NavState, zeta, dt, gravity,
-                omega_coriolis: Optional[jnp.ndarray] = None):
-    """NavState::correctPIM (NavState.cpp:258): gravity/initial-velocity terms."""
+                omega_coriolis: Optional[jnp.ndarray] = None,
+                use_2nd_order_coriolis: bool = False):
+    """NavState::correctPIM (NavState.cpp:258): gravity/initial-velocity terms
+    plus the optional Coriolis correction (NavState.cpp:274-276)."""
     g = jnp.asarray(gravity, dtype=zeta.dtype)
     dt22 = 0.5 * dt * dt
     Rt = jnp.swapaxes(state_i.R, -1, -2)
@@ -195,7 +222,8 @@ def correct_pim(state_i: NavState, zeta, dt, gravity,
     dV = zeta[6:] + dt * (Rt @ g)
     xi = jnp.concatenate([dR, dP, dV])
     if omega_coriolis is not None:
-        raise NotImplementedError("Coriolis correction: planned, not yet ported")
+        xi = xi + coriolis(state_i, dt, omega_coriolis,
+                           use_2nd_order_coriolis)
     return xi
 
 
@@ -203,7 +231,9 @@ def predict(state_i: NavState, bias, pim: PIM, params: PreintegrationParams,
             omega_coriolis=None) -> NavState:
     """PreintegrationBase::predict (PreintegrationBase.cpp:115)."""
     zeta = bias_corrected_delta(pim, bias)
-    xi = correct_pim(state_i, zeta, pim.delta_t, params.gravity, omega_coriolis)
+    oc = omega_coriolis if omega_coriolis is not None else params.omega_coriolis
+    xi = correct_pim(state_i, zeta, pim.delta_t, params.gravity, oc,
+                     params.use_2nd_order_coriolis)
     return nav_retract(state_i, xi)
 
 

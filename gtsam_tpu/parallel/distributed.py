@@ -52,7 +52,8 @@ def initialize(coordinator_address: Optional[str] = None,
                                    num_processes=nproc, process_id=pid)
         _initialized = True
         return True
-    _initialized = True
+    # Do NOT latch on the single-process fallback: a later call that supplies
+    # explicit coordinator args must still be able to initialize.
     return False
 
 
@@ -64,7 +65,11 @@ def host_mesh(axis_names: Sequence[str] = ("hosts", "devices"),
     programs written against it are process-count agnostic: collectives over
     `devices` stay on ICI, collectives over `hosts` cross DCN only.
     """
-    devs = np.asarray(jax.devices())
+    # jax.devices() ordering is NOT guaranteed contiguous by process on
+    # multi-host pods; group explicitly by (process_index, id) so the outer
+    # axis really is the DCN/host axis.
+    devs = np.asarray(sorted(jax.devices(),
+                             key=lambda d: (d.process_index, d.id)))
     n_hosts = jax.process_count()
     per_host = devices_per_host or (len(devs) // n_hosts)
     if len(axis_names) == 1:

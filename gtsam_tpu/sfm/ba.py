@@ -133,7 +133,8 @@ class SchurStructure:
         # assemble step mirrors off-diagonal cells by lane transpose.
         sym_groups = ()
         sym_pad_idx = sym_buckets = sym_cells = None
-        if tail is None:
+        if tail is None and groups:  # guard: zero-observation problems
+            # fall through to the general path when there is nothing to plan
             ia_parts, ib_parts, swap_parts, diag_parts, cell_parts = \
                 [], [], [], [], []
             for (r0, ng, l) in groups:

@@ -146,7 +146,11 @@ def smart_projection_factors(pose_keys: np.ndarray, measurements: np.ndarray,
 
         if mode == "JACOBIAN_SVD":
             # orthogonal null-space basis of E via complete QR
-            # (JacobianFactorSVD.h's "Nullspace trick"): U2 U2' == Q
+            # (JacobianFactorSVD.h's "Nullspace trick").  U2 U2' == Q holds
+            # only when E has full column rank 3; rank-deficient (degenerate)
+            # tracks would lose a nullspace direction here, but those are
+            # already zeroed below via the triangulation `valid` mask, so the
+            # rank-3 assumption is safe on the surviving factors.
             Qfull, _ = jnp.linalg.qr(E, mode="complete")   # (2M, 2M)
             U2 = Qfull[:, 3:]                              # (2M, 2M-3)
 

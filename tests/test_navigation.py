@@ -187,3 +187,95 @@ class TestNavState:
         y = nav_retract(x, xi)
         np.testing.assert_allclose(np.asarray(nav_local(x, y)), np.asarray(xi),
                                    atol=1e-12)
+
+
+class TestCoriolis:
+    """Coriolis correction vs numerically integrated rotating-frame dynamics
+    (NavState.cpp:214 coriolis, correctPIM:274; ScenarioRunner-style check).
+
+    Ground truth: in a nav frame rotating at omega, the true kinematics are
+      pdot = v,  vdot = R a_body + g - 2 w x v - w x (w x p),
+      Rdot = R skew(w_body) - skew(w) R
+    RK4-integrate these over a short interval and compare with predict() on a
+    PIM built from the same (body-frame) IMU stream with the Coriolis
+    correction enabled.  Validates the dt^2 (not 2 dt^2) position term and the
+    2nd-order centripetal terms."""
+
+    def _simulate(self, state0, accs, gyros, dts, g, w, second_order):
+        w = np.asarray(w)
+        R, p, v = (np.asarray(state0.R, dtype=float),
+                   np.asarray(state0.p, dtype=float),
+                   np.asarray(state0.v, dtype=float))
+
+        def deriv(R, p, v, a_b, w_b):
+            dv = R @ a_b + g - 2.0 * np.cross(w, v)
+            if second_order:
+                dv = dv - np.cross(w, np.cross(w, p))
+            dR = R @ _skew(w_b) - _skew(w) @ R
+            return dR, v.copy(), dv
+
+        for a_b, w_b, dt in zip(accs, gyros, dts):
+            k1 = deriv(R, p, v, a_b, w_b)
+            k2 = deriv(R + 0.5 * dt * k1[0], p + 0.5 * dt * k1[1],
+                       v + 0.5 * dt * k1[2], a_b, w_b)
+            k3 = deriv(R + 0.5 * dt * k2[0], p + 0.5 * dt * k2[1],
+                       v + 0.5 * dt * k2[2], a_b, w_b)
+            k4 = deriv(R + dt * k3[0], p + dt * k3[1], v + dt * k3[2],
+                       a_b, w_b)
+            R = R + dt / 6.0 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+            p = p + dt / 6.0 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+            v = v + dt / 6.0 * (k1[2] + 2 * k2[2] + 2 * k3[2] + k4[2])
+            # re-orthonormalize
+            u, _, vt = np.linalg.svd(R)
+            R = u @ vt
+        return R, p, v
+
+    def _check(self, second_order):
+        rng = np.random.default_rng(42)
+        w_earth = np.array([0.0, 0.0, 7.292e-2])  # scaled up for signal
+        g = GRAVITY
+        T, n = 0.05, 10
+        dts = np.full(n, T / n)
+        accs = rng.normal(size=(n, 3)) * 0.1
+        gyros = rng.normal(size=(n, 3)) * 0.1
+        # specific force measured = R^T (a_nav - g); here feed raw body accs
+        params = PreintegrationParams(
+            gravity=tuple(g), omega_coriolis=tuple(w_earth),
+            use_2nd_order_coriolis=second_order)
+        pim = preintegrate(accs, gyros, dts, np.zeros(6), params)
+        state0 = NavState(jnp.asarray(np.eye(3)),
+                          jnp.asarray(rng.normal(size=3) * 100.0),
+                          jnp.asarray(rng.normal(size=3) * 5.0))
+        pred = predict(state0, jnp.zeros(6), pim, params)
+        R_t, p_t, v_t = self._simulate(state0, accs, gyros, dts, g, w_earth,
+                                       second_order)
+        # correction is 1st-order in (w*T); residual error O((w T)^2 * scale)
+        np.testing.assert_allclose(np.asarray(pred.p), p_t, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(pred.v), v_t, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(pred.R), R_t, atol=2e-5)
+
+    def test_first_order(self):
+        self._check(False)
+
+    def test_second_order(self):
+        self._check(True)
+
+    def test_disabled_matches_plain(self):
+        rng = np.random.default_rng(0)
+        n = 5
+        dts = np.full(n, 0.01)
+        accs = rng.normal(size=(n, 3))
+        gyros = rng.normal(size=(n, 3))
+        p0 = PreintegrationParams(gravity=tuple(GRAVITY))
+        pim = preintegrate(accs, gyros, dts, np.zeros(6), p0)
+        s = NavState(jnp.asarray(np.eye(3)), jnp.ones(3), jnp.ones(3))
+        a = predict(s, jnp.zeros(6), pim, p0)
+        p1 = PreintegrationParams(gravity=tuple(GRAVITY),
+                                  omega_coriolis=(0.0, 0.0, 0.0))
+        b = predict(s, jnp.zeros(6), pim, p1)
+        np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p), atol=1e-12)
+
+
+def _skew(w):
+    return np.array([[0.0, -w[2], w[1]], [w[2], 0.0, -w[0]],
+                     [-w[1], w[0], 0.0]])
