@@ -175,6 +175,20 @@ class ISAM2Tree:
         self.update_count = 0
         self._jit_cache: Dict[tuple, callable] = {}
         self._marked_relin: set = set()
+        # monotone capacity state: every padded capacity that enters a compile
+        # signature only ever grows, so the sequence of shape classes is a
+        # short monotone chain (O(#caps x log) recompiles per tree lifetime)
+        # instead of a fresh class per update (the round-2 compile storm on
+        # irregular graphs, cf. reference ISAM2.cpp:116-249 which has no
+        # compile step at all)
+        self._mono: Dict[str, int] = {}
+
+    def _mono_cap(self, name: str, need: int) -> int:
+        cur = self._mono.get(name, 0)
+        if need > cur:
+            self._mono[name] = need
+            return need
+        return cur
 
     # -- variable / factor ingestion ----------------------------------------
 
@@ -671,14 +685,20 @@ class ISAM2Tree:
             by_h.setdefault(self._local_height(sid, new_set), []).append(sid)
         plans = []
         sig = []
-        # uniform caps across local levels -> ONE signature per update shape
+        # uniform MONOTONE caps across local levels AND across updates: one
+        # signature per capacity chain, not per update shape (see _mono_cap)
         all_sids = [sid for h in sorted(by_h) for sid in by_h[h]]
-        S_u = _pow2(max(len(v) for v in by_h.values()), 1)
-        W_u = _bucket(max(len(self.snodes[s].cols) for s in all_sids),
-                      _W_BUCKETS)
-        R_u = _bucket(max((len(self.snodes[s].rows) for s in all_sids),
-                          default=0), _R_BUCKETS) \
-            if any(self.snodes[s].rows for s in all_sids) else 0
+        S_u = self._mono_cap(
+            "rf_S", _pow2(max(len(v) for v in by_h.values()), 1))
+        W_u = self._mono_cap(
+            "rf_W", _bucket(max(len(self.snodes[s].cols) for s in all_sids),
+                            _W_BUCKETS))
+        R_u = self._mono_cap(
+            "rf_R",
+            _bucket(max((len(self.snodes[s].rows) for s in all_sids),
+                        default=0), _R_BUCKETS)
+            if any(self.snodes[s].rows for s in all_sids) else 0)
+        raw_levels = []
         for h in sorted(by_h):
             sids = by_h[h]
             S, W, R = S_u, W_u, R_u
@@ -748,64 +768,74 @@ class ISAM2Tree:
                         k += 1
                     yro_src.append(si * R + a)
                     yro_dst.append(int(s.urhs_slots[a]))
-            E = _pow2(max(len(e_src), 1), 64)
-            ER = _pow2(max(len(er_src), 1), 64)
-            A = _pow2(max(len(a_pos), 1), 64)
-            L = _pow2(max(len(lo_src), 1), 64)
-            Uo = _pow2(max(len(uo_src), 1), 64)
-            YR = _pow2(max(len(yro_src), 1), 64)
+            raw_levels.append(dict(
+                a_pos=a_pos, a_blk=a_blk, e_src=e_src, e_dst=e_dst,
+                er_src=er_src, er_dst=er_dst, uo_src=uo_src, uo_dst=uo_dst,
+                yro_src=yro_src, yro_dst=yro_dst, lo_src=lo_src,
+                lo_dst=lo_dst, col_vars=col_vars, pad_cols=pad_cols,
+                valid_piv=valid_piv))
+        # uniform monotone index caps (shared by every level of every update)
+        def _need(k):
+            return max((len(rl[k]) for rl in raw_levels), default=0)
+        E = self._mono_cap("rf_E", _pow2(max(_need("e_src"), 1), 64))
+        ER = self._mono_cap("rf_ER", _pow2(max(_need("er_src"), 1), 64))
+        A = self._mono_cap("rf_A", _pow2(max(_need("a_pos"), 1), 64))
+        L = self._mono_cap("rf_L", _pow2(max(_need("lo_src"), 1), 64))
+        Uo = self._mono_cap("rf_Uo", _pow2(max(_need("uo_src"), 1), 64))
+        YR = self._mono_cap("rf_YR", _pow2(max(_need("yro_src"), 1), 64))
+        S, W, R = S_u, W_u, R_u
+        F = W + R
 
-            def pad(a, cap, sent):
-                a = np.asarray(a, dtype=np.int64)
-                return jnp.asarray(
-                    np.pad(a, (0, cap - len(a)), constant_values=sent),
-                    dtype=jnp.int32)
+        def pad(a, cap, sent):
+            a = np.asarray(a, dtype=np.int64)
+            return jnp.asarray(
+                np.pad(a, (0, cap - len(a)), constant_values=sent),
+                dtype=jnp.int32)
 
+        for rl in raw_levels:
             plans.append(dict(
                 # a_pos sentinel: out-of-bounds -> dropped; a_blk pads to the
                 # zero sentinel row of H
-                a_pos=pad(a_pos, A, S * F * W),
-                a_blk=pad(a_blk, A, self.B_cap),
-                e_src=pad(e_src, E, self.U_cap),
-                e_dst=pad(e_dst, E, S * F * F),
-                er_src=pad(er_src, ER, self.UR_cap),
-                er_dst=pad(er_dst, ER, S * F),
-                uo_src=pad(uo_src, Uo, 0),
-                uo_dst=pad(uo_dst, Uo, self.U_cap + 1),     # OOB -> drop
-                yro_src=pad(yro_src, YR, 0),
-                yro_dst=pad(yro_dst, YR, self.UR_cap + 1),  # OOB -> drop
-                lo_src=pad(lo_src, L, 0),
-                lo_dst=pad(lo_dst, L, self.B_cap + 1),      # OOB -> drop
-                col_vars=jnp.asarray(col_vars),
-                pad_cols=jnp.asarray(pad_cols),
-                valid_piv=jnp.asarray(valid_piv),
+                a_pos=pad(rl["a_pos"], A, S * F * W),
+                a_blk=pad(rl["a_blk"], A, self.B_cap),
+                e_src=pad(rl["e_src"], E, self.U_cap),
+                e_dst=pad(rl["e_dst"], E, S * F * F),
+                er_src=pad(rl["er_src"], ER, self.UR_cap),
+                er_dst=pad(rl["er_dst"], ER, S * F),
+                uo_src=pad(rl["uo_src"], Uo, 0),
+                uo_dst=pad(rl["uo_dst"], Uo, self.U_cap + 1),   # OOB -> drop
+                yro_src=pad(rl["yro_src"], YR, 0),
+                yro_dst=pad(rl["yro_dst"], YR, self.UR_cap + 1),
+                lo_src=pad(rl["lo_src"], L, 0),
+                lo_dst=pad(rl["lo_dst"], L, self.B_cap + 1),    # OOB -> drop
+                col_vars=jnp.asarray(rl["col_vars"]),
+                pad_cols=jnp.asarray(rl["pad_cols"]),
+                valid_piv=jnp.asarray(rl["valid_piv"]),
             ))
             sig.append((S, W, R, E, ER, A, L, Uo, YR))
-        # pad the level list to a pow2 count with no-op dummy levels so the
-        # refactor program signature stays stable across updates
-        nlev_cap = _pow2(len(plans), 1)
+        # pad the level list to a MONOTONE pow2 count with no-op dummy levels
+        # so the refactor program signature stays stable across updates
+        nlev_cap = self._mono_cap("rf_nlev", _pow2(max(len(plans), 1), 1))
+        zero = lambda cap, sent: jnp.full((cap,), sent, dtype=jnp.int32)
         while len(plans) < nlev_cap:
-            S, W, R = S_u, W_u, R_u
-            F = W + R
-            zero = lambda cap, sent: jnp.full((cap,), sent, dtype=jnp.int32)
             plans.append(dict(
-                a_pos=zero(sig[-1][5], S * F * W),
-                a_blk=zero(sig[-1][5], self.B_cap),
-                e_src=zero(sig[-1][3], self.U_cap),
-                e_dst=zero(sig[-1][3], S * F * F),
-                er_src=zero(sig[-1][4], self.UR_cap),
-                er_dst=zero(sig[-1][4], S * F),
-                uo_src=zero(sig[-1][7], 0),
-                uo_dst=zero(sig[-1][7], self.U_cap + 1),
-                yro_src=zero(sig[-1][8], 0),
-                yro_dst=zero(sig[-1][8], self.UR_cap + 1),
-                lo_src=zero(sig[-1][6], 0),
-                lo_dst=zero(sig[-1][6], self.B_cap + 1),
+                a_pos=zero(A, S * F * W),
+                a_blk=zero(A, self.B_cap),
+                e_src=zero(E, self.U_cap),
+                e_dst=zero(E, S * F * F),
+                er_src=zero(ER, self.UR_cap),
+                er_dst=zero(ER, S * F),
+                uo_src=zero(Uo, 0),
+                uo_dst=zero(Uo, self.U_cap + 1),
+                yro_src=zero(YR, 0),
+                yro_dst=zero(YR, self.UR_cap + 1),
+                lo_src=zero(L, 0),
+                lo_dst=zero(L, self.B_cap + 1),
                 col_vars=jnp.full((S, W), self.n_cap, dtype=jnp.int32),
                 pad_cols=jnp.ones((S, F * self.d)),
                 valid_piv=jnp.zeros((S, W * self.d), dtype=bool),
             ))
-            sig.append(sig[-1])
+            sig.append((S, W, R, E, ER, A, L, Uo, YR))
         return plans, tuple(sig)
 
     def _local_height(self, sid, new_set):
@@ -920,15 +950,19 @@ class ISAM2Tree:
                 if any(s in self.snodes for s in self.levels[lev])]
         all_s = [s for lev in live for s in self.levels[lev]
                  if s in self.snodes]
-        S_u = _pow2(max((len([s for s in self.levels[lev]
-                              if s in self.snodes]) for lev in live),
-                        default=1), 1)
-        W_u = _bucket(max((len(self.snodes[s].cols) for s in all_s),
-                          default=1), _W_BUCKETS)
-        R_u = _bucket(max((len(self.snodes[s].rows) for s in all_s),
-                          default=0), _R_BUCKETS) \
-            if any(self.snodes[s].rows for s in all_s) else 0
-        nlev_cap = _pow2(max(len(live), 1), 2)
+        S_u = self._mono_cap(
+            "bw_S", _pow2(max((len([s for s in self.levels[lev]
+                                    if s in self.snodes]) for lev in live),
+                              default=1), 1))
+        W_u = self._mono_cap(
+            "bw_W", _bucket(max((len(self.snodes[s].cols) for s in all_s),
+                                default=1), _W_BUCKETS))
+        R_u = self._mono_cap(
+            "bw_R",
+            _bucket(max((len(self.snodes[s].rows) for s in all_s),
+                        default=0), _R_BUCKETS)
+            if any(self.snodes[s].rows for s in all_s) else 0)
+        nlev_cap = self._mono_cap("bw_nlev", _pow2(max(len(live), 1), 2))
         for lev in range(len(self.levels) - 1, -1, -1):
             sids = [s for s in self.levels[lev] if s in self.snodes]
             if not sids:
