@@ -17,6 +17,7 @@ import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
+from ..config import default_dtype as _default_dtype
 import numpy as np
 
 
@@ -117,7 +118,7 @@ class DiscreteFactorGraph:
         self.factors: List[DiscreteFactor] = list(factors or [])
 
     def add(self, keys, cards, table) -> "DiscreteFactorGraph":
-        table = jnp.asarray(table, dtype=jnp.result_type(float)).reshape(tuple(cards))
+        table = jnp.asarray(table, dtype=_default_dtype()).reshape(tuple(cards))
         self.factors.append(DiscreteFactor(tuple(keys), tuple(cards), table))
         return self
 

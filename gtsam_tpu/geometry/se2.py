@@ -23,6 +23,12 @@ def rot(p):
     return jnp.stack([jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], -2)
 
 
+def _small2(w2):
+    """Dtype-aware small-angle threshold (see so3._small2): f32 needs the
+    Taylor branch well before 1-cos(w) cancels to zero."""
+    return _SMALL if jnp.asarray(w2).dtype == jnp.float64 else 1e-3
+
+
 def _wrap(a):
     """Wrap angle to (-pi, pi]."""
     return jnp.arctan2(jnp.sin(a), jnp.cos(a))
@@ -32,7 +38,7 @@ def expmap(xi):
     """xi = [vx, vy, w] -> pose [x, y, theta];  t = V(w) v with the SE(2) V."""
     v, w = xi[..., :2], xi[..., 2]
     w2 = w * w
-    small = w2 < _SMALL
+    small = w2 < _small2(w2)
     sw = jnp.where(small, 1.0, w)
     # A = sin w / w, B = (1 - cos w)/w
     A = jnp.where(small, 1.0 - w2 / 6.0, jnp.sin(sw) / sw)
@@ -46,7 +52,7 @@ def logmap(p):
     """pose -> [vx, vy, w]."""
     w = _wrap(p[..., 2])
     w2 = w * w
-    small = w2 < _SMALL
+    small = w2 < _small2(w2)
     sw = jnp.where(small, 1.0, w)
     A = jnp.where(small, 1.0 - w2 / 6.0, jnp.sin(sw) / sw)
     B = jnp.where(small, 0.5 * w, (1.0 - jnp.cos(sw)) / sw)

@@ -11,12 +11,23 @@ import jax.numpy as jnp
 _SMALL = 1e-10  # threshold on theta^2; Taylor error ~ theta^6 << f64 eps
 
 
+def _small2(theta2):
+    """Dtype-aware small-angle threshold on theta^2.
+
+    1-cos(t) and t-sin(t) cancel catastrophically near eps of the dtype: in
+    f32, cos(2e-5) rounds to 1.0 exactly, so (1-cos t)/t^2 = 0 instead of 0.5
+    and V^-1's (1 - A/2B)/t^2 becomes inf/NaN (hit on sphere2500 when a pose
+    lands ~1e-5 from its prior).  Switch to the Taylor branch while the
+    truncation error (~t^4/720) is still far below dtype eps."""
+    return _SMALL if jnp.asarray(theta2).dtype == jnp.float64 else 1e-3
+
+
 def _taylor_coeffs(theta2):
     """A = sin(t)/t, B = (1-cos t)/t^2, C = (t - sin t)/t^3, all AD-safe.
 
     Returns (A, B, C) broadcast like theta2.
     """
-    small = theta2 < _SMALL
+    small = theta2 < _small2(theta2)
     safe = jnp.where(small, 1.0, theta2)
     theta = jnp.sqrt(safe)
     sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
@@ -158,7 +169,7 @@ def left_jacobian_inverse(w):
     """V^{-1} = I - W/2 + E * W^2 with E = (1 - A/(2B)) / theta^2 (AD-safe)."""
     theta2 = jnp.sum(w * w, axis=-1)
     A, B, _ = _taylor_coeffs(theta2)
-    small = theta2 < _SMALL
+    small = theta2 < _small2(theta2)
     safe = jnp.where(small, 1.0, theta2)
     E = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0, (1.0 - 0.5 * A / B) / safe)
     W = hat(w)

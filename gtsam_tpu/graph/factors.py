@@ -18,6 +18,7 @@ from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+from ..config import default_dtype as _default_dtype
 import numpy as np
 
 from ..base.noise import NoiseModel
@@ -54,33 +55,79 @@ class FactorBatch:
         return tuple(manifolds.get(t).dim for t in self.var_types)
 
 
+def _hi_dtype():
+    """f64 when the mixed-precision policy is active (working dtype f32 with
+    x64 live), else None.
+
+    Residual FORWARD evaluation must run above the working precision: on
+    sphere2500 the f32 forward pass carries ~1e-4 absolute noise on whitened
+    residuals (compose/log over ~100-unit translations), which near
+    convergence drowns both the chi2 accept test and the gradient rhs —
+    measured as LM stalling at half-chi2 ~1139 with lambda inflating to 1,
+    while the identical f64 run descends to 1133.  Jacobians stay f32 (their
+    error enters only second-order)."""
+    if jax.config.jax_enable_x64 and _default_dtype() == jnp.float32:
+        return jnp.float64
+    return None
+
+
+def _upcast(tree, hi):
+    def c(a):
+        a = jnp.asarray(a)
+        return a.astype(hi) if jnp.issubdtype(a.dtype, jnp.floating) else a
+    return jax.tree.map(c, tree)
+
+
 def residuals(batch: FactorBatch, xs):
-    """Batched unwhitened residuals: xs = tuple of stacked elements per slot."""
+    """Batched unwhitened residuals: xs = tuple of stacked elements per slot.
+
+    Computed in f64 under the mixed-precision policy (see _hi_dtype)."""
+    hi = _hi_dtype()
+    meas = batch.measurements
+    if hi is not None:
+        xs = _upcast(xs, hi)
+        meas = _upcast(meas, hi)
+
     def one(xs_one, meas_one):
         return batch.residual_fn(xs_one, meas_one)
-    return jax.vmap(one)(xs, batch.measurements)
+    return jax.vmap(one)(xs, meas)
 
 
-def linearize_raw(batch: FactorBatch, xs):
+def linearize_raw(batch: FactorBatch, xs, forward_dtype=None):
     """Batched UNWHITENED tangent-space Jacobians/residuals: (J, r) with
-    J = tuple of (N, rdim, d_i), r = (N, rdim) raw residuals."""
+    J = tuple of (N, rdim, d_i), r = (N, rdim) raw residuals.
+
+    Under the mixed-precision policy the whole linearization forward pass
+    (Jacobian AND residual) runs in f64 and is rounded to f32 downstream
+    (linearize()): BA-class Jacobians span ~1e6 within a row (focal vs
+    distortion columns), so f32 jacfwd corrupts the small-but-coupled entries
+    and the Schur-reduced system itself — measured as LM crawling ~3e-4 above
+    the optimum at Ladybug scale regardless of solve precision.
+    `forward_dtype` overrides the policy (e.g. a deliberately-cheap f32 coarse
+    phase)."""
     dims = batch.dims()
     retracts = tuple(manifolds.get(t).retract for t in batch.var_types)
+    hi = forward_dtype if forward_dtype is not None else _hi_dtype()
+    dt = hi if hi is not None else _default_dtype()
+    meas = batch.measurements
+    if hi is not None:
+        xs = _upcast(xs, hi)
+        meas = _upcast(meas, hi)
 
     def res_tangent(deltas, xs_one, meas_one):
         xs_p = tuple(r(x, d) for r, x, d in zip(retracts, xs_one, deltas))
         return batch.residual_fn(xs_p, meas_one)
 
     def one(xs_one, meas_one):
-        zeros = tuple(jnp.zeros(d, dtype=jnp.result_type(float)) for d in dims)
+        zeros = tuple(jnp.zeros(d, dtype=dt) for d in dims)
         J = jax.jacfwd(res_tangent)(zeros, xs_one, meas_one)
         r = res_tangent(zeros, xs_one, meas_one)
         return J, r
 
-    return jax.vmap(one)(xs, batch.measurements)
+    return jax.vmap(one)(xs, meas)
 
 
-def linearize(batch: FactorBatch, xs):
+def linearize(batch: FactorBatch, xs, forward_dtype=None, out_dtype=None):
     """Batched whitened Jacobians/residuals in tangent space.
 
     Returns (A: tuple of (N, rdim, d_i), b: (N, rdim)) with convention
@@ -90,14 +137,19 @@ def linearize(batch: FactorBatch, xs):
         J, b = jax.vmap(batch.linearize_fn)(xs, batch.measurements)
         return J, b
 
-    J, r = linearize_raw(batch, xs)
+    out_dt = out_dtype if out_dtype is not None else _default_dtype()
+    J, r = linearize_raw(batch, xs, forward_dtype)
     wr = batch.noise.whiten(r)
     wJ = tuple(batch.noise.whiten_jacobian(Ji) for Ji in J)
     w = batch.noise.robust_weights(wr)
     if w is not None:
         wr = wr * w[:, None]
         wJ = tuple(Ji * w[:, None, None] for Ji in wJ)
-    return wJ, -wr
+    # b rounded back to working precision AFTER the hi-precision forward pass:
+    # rounding the correct value costs eps32*|b|, computing it in f32 costs
+    # eps32*|intermediates| >> |b| near convergence
+    wJ = tuple(Ji.astype(out_dt) for Ji in wJ)
+    return wJ, -wr.astype(out_dt)
 
 
 # -- concrete factor constructors -----------------------------------------

@@ -12,6 +12,7 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
+from ..config import default_dtype as _default_dtype
 import numpy as np
 
 from . import factors as factors_mod
@@ -35,6 +36,25 @@ class FactorGraph:
         for b in self.batches:
             out.update(int(k) for k in b.keys.reshape(-1))
         return out
+
+    def astype(self, dtype) -> "FactorGraph":
+        """Graph with measurement/noise floating leaves cast to `dtype`."""
+        import dataclasses as _dc
+
+        def cast(a):
+            a = jnp.asarray(a)
+            return a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) \
+                else a
+
+        out = []
+        for b in self.batches:
+            meas = (jax.tree.map(cast, b.measurements)
+                    if b.measurements is not None else None)
+            nz = b.noise
+            if nz is not None and nz.data is not None:
+                nz = _dc.replace(nz, data=jax.tree.map(cast, nz.data))
+            out.append(_dc.replace(b, measurements=meas, noise=nz))
+        return FactorGraph(out)
 
     def error(self, values: Values):
         return self.bind(values).error(values.arrays)
@@ -86,15 +106,23 @@ class BoundGraph:
     # -- pure functions over values.arrays --------------------------------
 
     def error(self, arrays):
-        """Total graph error: sum of per-batch noise-model errors (chi2/2)."""
-        total = jnp.zeros((), dtype=jnp.result_type(float))
+        """Total graph error: sum of per-batch noise-model errors (chi2/2).
+
+        Accumulated in f64 when x64 is live even if the working dtype is f32:
+        at convergence the per-iteration decrement is below f32 sum noise,
+        which would stall the LM accept test (cf. ba.py error_fn)."""
+        acc_dt = (jnp.float64 if jax.config.jax_enable_x64
+                  else _default_dtype())
+        total = jnp.zeros((), dtype=acc_dt)
         for b, st in zip(self.graph.batches, self.structures):
             xs = tuple(
                 jax.tree.map(lambda a: a[st.rows[s]], arrays[t])
                 for s, t in enumerate(b.var_types)
             )
             r = factors_mod.residuals(b, xs)
-            total = total + b.sign * b.noise.error(r)
+            # cast the whitened residuals BEFORE the sum: the f32 reduction
+            # inside noise.error is exactly the noise floor being avoided
+            total = total + b.sign * b.noise.error(r.astype(acc_dt))
         return total
 
     def linearize(self, arrays):
@@ -116,7 +144,7 @@ class BoundGraph:
         (NonlinearFactorGraph.cpp:312) + Scatter assembly (HessianFactor.cpp:239).
         """
         D = self.layout.total_dim
-        dt = jnp.result_type(float)
+        dt = _default_dtype()
         H = jnp.zeros((D, D), dtype=dt)
         g = jnp.zeros(D, dtype=dt)
         lin = self.linearize(arrays)
@@ -143,7 +171,7 @@ class BoundGraph:
         negated residuals of the constrained rows.  Solvers append these to the
         GN system as a KKT block (equality-constrained least squares)."""
         D = self.layout.total_dim
-        dt = jnp.result_type(float)
+        dt = _default_dtype()
         C = jnp.zeros((self.num_constraints, D), dtype=dt)
         c = jnp.zeros(self.num_constraints, dtype=dt)
         for (bi, n_idx, r_idx, row0) in self._constraints:

@@ -54,6 +54,17 @@ class Values:
         }
         return Values(arrays, {t: np.asarray(k) for t, k in keys.items()})
 
+    def astype(self, dtype) -> "Values":
+        """Values with all floating leaves cast to `dtype` (keys untouched).
+
+        TPU precision policy helper: run the solver core in f32 while x64
+        stays enabled for f64 accumulation/refinement (SURVEY.md §7)."""
+        def cast(a):
+            a = jnp.asarray(a)
+            return a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) \
+                else a
+        return self.replace_arrays(jax.tree.map(cast, self.arrays))
+
     def replace_arrays(self, arrays) -> "Values":
         out = Values.__new__(Values)
         out.arrays = arrays

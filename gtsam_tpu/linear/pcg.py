@@ -9,6 +9,7 @@ slam/RegularImplicitSchurFactor.h:272, generalized to any graph).
 
 import jax
 import jax.numpy as jnp
+from ..config import default_dtype as _default_dtype
 import numpy as np
 
 from ..graph import manifolds
@@ -56,14 +57,14 @@ class PCGSolver:
     def system(self, arrays):
         lin = self._bound.linearize(arrays)
         # gradient g = J^T b and block-diagonal preconditioner
-        g = jnp.zeros(self._total, dtype=jnp.result_type(float))
+        g = jnp.zeros(self._total, dtype=_default_dtype())
         # block-jacobi: per variable (uniform pad to max dim)
         dmax = self._dmax
         nvar_offsets = self._nvar_offsets
         var_dims = self._var_dims
         off_to_var = {int(o): i for i, o in enumerate(nvar_offsets)}
         nv = len(nvar_offsets)
-        diag = jnp.zeros((nv, dmax, dmax), dtype=jnp.result_type(float))
+        diag = jnp.zeros((nv, dmax, dmax), dtype=_default_dtype())
         for (wJ, bvec), idxs, (bt, st) in zip(
                 lin, self._slot_idx,
                 zip(self._bound.graph.batches, self._bound.structures)):

@@ -17,6 +17,7 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
+from ..config import default_dtype as _default_dtype
 import numpy as np
 
 from ..graph import manifolds
@@ -191,7 +192,7 @@ class SparseCholeskySolver:
         Returns (blocks (B, d, d) lower-triangle storage, g (nvars, d)).
         """
         d = self.d
-        dt = jnp.result_type(float)
+        dt = _default_dtype()
         sym = self.sym
         B = sym.nnz_blocks
         blocks = jnp.zeros((B, d, d), dtype=dt)

@@ -20,6 +20,7 @@ from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
+from ..config import default_dtype as _default_dtype
 import numpy as np
 
 from ..graph import manifolds
@@ -282,6 +283,15 @@ class SupernodalCholeskySolver:
             self.pad_diag[nv, self.var_dims[v]:] = 1.0
         self.bound = bound
 
+        # block-sparse symmetric matvec plan (iterative refinement residual):
+        # y[r] += B_k x[c] for every stored lower block, y[c] += B_k^T x[r]
+        # for off-diagonal blocks — both as sorted segment-sums
+        br, bc = sym.block_row, sym.block_col
+        ro, rseg, runiq = _sorted_segments(br)
+        offd = np.where(br != bc)[0].astype(np.int32)
+        co, cseg, cuniq = _sorted_segments(bc[offd])
+        self._mv_plan = (ro, rseg, runiq, offd, offd[co], cseg, cuniq)
+
     # -- system assembly (jit-safe) -----------------------------------------
 
     def system(self, arrays):
@@ -290,7 +300,7 @@ class SupernodalCholeskySolver:
         Returns (blocks (B+1, d, d) — last block is the zero sentinel for
         padded gathers — and g (nvars, d))."""
         d = self.d
-        dt = jnp.result_type(float)
+        dt = _default_dtype()
         sym = self.sym
         lin = self.bound.linearize(arrays)
         h_contrib, g_contrib = [], []
@@ -403,11 +413,72 @@ class SupernodalCholeskySolver:
             blocks = blocks.at[lp.schur_tgt].add(-seg)
         return (blocks, Ldiag_l, Lpanel_l, ok, badcol)
 
+    def _damp_vec(self, blocks, lam, diagonal_damping,
+                  min_diag=1e-6, max_diag=1e32):
+        """(n, d) additive diagonal damping, matching factorize()."""
+        dt = blocks.dtype
+        true_dims = 1.0 - jnp.asarray(self.pad_diag, dtype=dt)
+        if diagonal_damping:
+            dvec = jnp.diagonal(blocks[self.sym.diag_block_by_col],
+                                axis1=-2, axis2=-1)
+            dvec = jnp.clip(dvec, min_diag, max_diag)
+            return lam * dvec * true_dims
+        return lam * true_dims
+
+    def matvec(self, blocks, x, lam=0.0, diagonal_damping: bool = False):
+        """(H + damping) x on the block-sparse store; x, result (n, d) in
+        PERMUTED layout.  Runs in x.dtype — pass f64 x (x64 sessions) for the
+        high-precision refinement residual."""
+        sym = self.sym
+        dt = x.dtype
+        ro, rseg, runiq, offd, coi, cseg, cuniq = self._mv_plan
+        Bv = blocks[:self.B].astype(dt)
+        t1 = jnp.einsum("bij,bj->bi", Bv, x[sym.block_col])
+        y = jnp.zeros((self.nvars, self.d), dtype=dt)
+        s1 = jax.ops.segment_sum(t1[ro], rseg, num_segments=len(runiq))
+        y = y.at[runiq].add(s1)
+        if len(offd):
+            t2 = jnp.einsum("bij,bi->bj", blocks[coi].astype(dt),
+                            x[sym.block_row[coi]])
+            s2 = jax.ops.segment_sum(t2, cseg, num_segments=len(cuniq))
+            y = y.at[cuniq].add(s2)
+        damp = self._damp_vec(blocks, lam, diagonal_damping).astype(dt)
+        return y + damp * x
+
+    def solve_refined(self, blocks, g, lam=0.0,
+                      diagonal_damping: bool = False, refine_iters: int = 2):
+        """Factorize in working precision (f32 on TPU) + iterative refinement
+        with the residual accumulated in f64 when x64 is live.
+
+        This is the sparse-solver half of the 'f32 compute + f64 accumulate'
+        policy: a plain f32 factorization of a 1e6-conditioned pose-graph
+        Hessian loses ~1e-1 of the step, which LM reads as a failed step and
+        answers with lambda inflation (measured on sphere2500: lambda climbs
+        to 1 and convergence crawls); two refinement passes restore the step
+        to working-precision accuracy for two extra back-substitutions and
+        one sparse matvec each."""
+        factored = self.factorize(blocks, lam, diagonal_damping)
+        x = self._solve_padded(factored, g)
+        if refine_iters:
+            hi = jnp.float64 if jax.config.jax_enable_x64 else x.dtype
+            g_hi = g.astype(hi)
+            x_hi = x.astype(hi)
+            for _ in range(refine_iters):
+                r = g_hi - self.matvec(blocks, x_hi, lam, diagonal_damping)
+                corr = self._solve_padded(factored, r.astype(x.dtype))
+                x_hi = x_hi + corr.astype(hi)
+            x = x_hi.astype(x.dtype)
+        return self._flatten(x)
+
     def solve_factored(self, factored, g):
         """Forward + backward substitution; returns flat delta (canonical)."""
+        return self._flatten(self._solve_padded(factored, g))
+
+    def _solve_padded(self, factored, g):
+        """Fwd + bwd substitution; returns x (n, d) in PERMUTED layout."""
         _, Ldiag_l, Lpanel_l, _, _ = factored
         n, d = self.nvars, self.d
-        dt = Ldiag_l[0].dtype if Ldiag_l else jnp.result_type(float)
+        dt = Ldiag_l[0].dtype if Ldiag_l else _default_dtype()
         g_ext = jnp.concatenate([g.astype(dt), jnp.zeros((1, d), dtype=dt)])
         acc = jnp.zeros((n + 1, d), dtype=dt)
         ys = []
@@ -436,7 +507,11 @@ class SupernodalCholeskySolver:
                 transpose_a=True)[..., 0]
             xb = x.reshape(S * W, d)
             x_ext = x_ext.at[lp.x_sc_tgt].set(xb[lp.x_sc_src])
-        x = x_ext[:n]
+        return x_ext[:n]
+
+    def _flatten(self, x):
+        """(n, d) permuted-padded solution -> flat delta (canonical layout)."""
+        dt = x.dtype
         delta = jnp.zeros(self.layout.total_dim, dtype=dt)
         x_old = x[self.sym.inv_perm]
         for dim in np.unique(self.var_dims):
@@ -447,8 +522,12 @@ class SupernodalCholeskySolver:
                 x_old[sel, :dim].reshape(-1))
         return delta
 
-    def solve(self, arrays, lam=0.0, diagonal_damping: bool = False):
+    def solve(self, arrays, lam=0.0, diagonal_damping: bool = False,
+              refine_iters: int = 0):
         blocks, g = self.system(arrays)
+        if refine_iters:
+            return self.solve_refined(blocks, g, lam, diagonal_damping,
+                                      refine_iters)
         factored = self.factorize(blocks, lam, diagonal_damping)
         return self.solve_factored(factored, g)
 

@@ -10,6 +10,7 @@ from typing import NamedTuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from ..config import default_dtype as _default_dtype
 
 from ..base import noise as noise_mod
 from ..geometry import so3
@@ -28,7 +29,7 @@ def preintegrate_rotation(gyros, dts, bias_hat, gyro_sigma: float
                           ) -> PreintegratedRotation:
     """ΔR = Π Exp((ω−b̂)dt) with covariance and bias Jacobian propagation
     (PreintegratedRotation::integrateGyroMeasurement)."""
-    dt_ = jnp.result_type(float)
+    dt_ = _default_dtype()
     gyros = jnp.asarray(gyros, dtype=dt_)
     dts = jnp.asarray(dts, dtype=dt_)
     bias_hat = jnp.asarray(bias_hat, dtype=dt_)

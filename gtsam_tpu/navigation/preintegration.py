@@ -14,6 +14,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from ..config import default_dtype as _default_dtype
 
 from ..geometry import so3
 from .navstate import NavState, local as nav_local, retract as nav_retract
@@ -64,7 +65,7 @@ def _update_zeta(zeta, a_body, w_body, dt):
 
 def preintegrate(accs, gyros, dts, bias_hat, params: PreintegrationParams) -> PIM:
     """Integrate a (T,3),(T,3),(T,) measurement stream at fixed bias estimate."""
-    dt_acc = jnp.result_type(float)
+    dt_acc = _default_dtype()
     accs = jnp.asarray(accs, dtype=dt_acc)
     gyros = jnp.asarray(gyros, dtype=dt_acc)
     dts = jnp.asarray(dts, dtype=dt_acc)
@@ -134,7 +135,7 @@ def preintegrate_combined(accs, gyros, dts, bias_hat,
                           params: PreintegrationParams) -> CombinedPIM:
     """Combined preintegration: the zeta scan of `preintegrate` plus joint
     (zeta, bias) covariance propagation F P F^T + G Q G^T."""
-    dt_acc = jnp.result_type(float)
+    dt_acc = _default_dtype()
     accs = jnp.asarray(accs, dtype=dt_acc)
     gyros = jnp.asarray(gyros, dtype=dt_acc)
     dts = jnp.asarray(dts, dtype=dt_acc)
@@ -264,7 +265,7 @@ def preintegrate_manifold(accs, gyros, dts, bias_hat,
     step — so the returned PIM is interchangeable with the tangent backend's
     (zeta = Log-coordinates of ΔXij) and plugs into the same ImuFactor batches.
     """
-    dt_ = jnp.result_type(float)
+    dt_ = _default_dtype()
     accs = jnp.asarray(accs, dtype=dt_)
     gyros = jnp.asarray(gyros, dtype=dt_)
     dts = jnp.asarray(dts, dtype=dt_)

@@ -14,6 +14,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+from ..config import default_dtype as _default_dtype
 import numpy as np
 
 from ..geometry import se3, so3
@@ -49,7 +50,7 @@ class Scenario:
 def constant_twist(w, v, R0=None, p0=None) -> Scenario:
     """ConstantTwistScenario (Scenario.h:60): body frame moves with constant
     twist [w; v]; centripetal acceleration a_b = w x v is constant in body."""
-    w = jnp.asarray(w, dtype=jnp.result_type(float))
+    w = jnp.asarray(w, dtype=_default_dtype())
     v = jnp.asarray(v, dtype=w.dtype)
     R0 = jnp.eye(3, dtype=w.dtype) if R0 is None else jnp.asarray(R0)
     p0 = jnp.zeros(3, dtype=w.dtype) if p0 is None else jnp.asarray(p0)
@@ -82,7 +83,7 @@ def constant_twist(w, v, R0=None, p0=None) -> Scenario:
 def accelerating(R_nb, p0, v0, a_n, omega_b=(0.0, 0.0, 0.0)) -> Scenario:
     """AcceleratingScenario (Scenario.h:83): constant nav-frame acceleration
     with optional constant body angular velocity."""
-    R_nb = jnp.asarray(R_nb, dtype=jnp.result_type(float))
+    R_nb = jnp.asarray(R_nb, dtype=_default_dtype())
     p0 = jnp.asarray(p0, dtype=R_nb.dtype)
     v0 = jnp.asarray(v0, dtype=R_nb.dtype)
     a_n = jnp.asarray(a_n, dtype=R_nb.dtype)
@@ -125,7 +126,7 @@ class ScenarioRunner:
         self.params = params or pre.PreintegrationParams()
         self.imu_dt = imu_dt
         self.bias = (jnp.zeros(6) if bias is None
-                     else jnp.asarray(bias, dtype=jnp.result_type(float)))
+                     else jnp.asarray(bias, dtype=_default_dtype()))
 
     def gravity_n(self):
         return jnp.asarray(self.params.gravity)

@@ -22,6 +22,7 @@ from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from ..config import default_dtype as _default_dtype
 import numpy as np
 
 from ..graph import factors as factors_mod
@@ -199,7 +200,7 @@ class IncrementalSmoother:
 
         @jax.jit
         def solve(arrays, per_store, mask):
-            dt = jnp.result_type(float)
+            dt = _default_dtype()
             H = jnp.zeros((D, D), dtype=dt)
             g = jnp.zeros(D, dtype=dt)
             for (batch, types), (meas, R, rows, offs) in zip(metas, per_store):

@@ -35,6 +35,7 @@ from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from ..config import default_dtype as _default_dtype
 import numpy as np
 
 from ..graph import factors as factors_mod
@@ -193,7 +194,7 @@ class ISAM2Tree:
     # -- variable / factor ingestion ----------------------------------------
 
     def _ensure_dtype_buffers(self):
-        dt = jnp.result_type(float)
+        dt = _default_dtype()
         if self.Lb is None or self.Lb.shape[0] != self.B_cap + 1 \
                 or self.Lb.shape[1] != self.d:
             old = self.Lb
@@ -567,7 +568,7 @@ class ISAM2Tree:
     # .. full assembly (H blocks + gradient), every update ..................
 
     def _assemble(self):
-        dt = jnp.result_type(float)
+        dt = _default_dtype()
         d = self.d
         # host: contribution target lists (rebuilt per update; vectorized)
         asm_t, g_t = [], []
@@ -627,7 +628,7 @@ class ISAM2Tree:
 
         @jax.jit
         def assemble(var_arrays, store_args, flips, order, seg, gorder, gseg):
-            dt = jnp.result_type(float)
+            dt = _default_dtype()
             h_parts, g_parts = [], []
             fi = 0
             for (batch, types), (meas, R, rows) in zip(metas, store_args):

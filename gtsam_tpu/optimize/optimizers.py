@@ -18,6 +18,7 @@ import math
 from typing import Optional
 import jax
 import jax.numpy as jnp
+from ..config import default_dtype as _default_dtype
 import numpy as np
 
 from ..graph.graph import FactorGraph
@@ -170,16 +171,23 @@ class SparseSolver:
     """
 
     def __init__(self, order: str = "nd", method: str = "supernodal",
-                 constraint_weight: Optional[float] = None):
+                 constraint_weight: Optional[float] = None,
+                 refine_iters: Optional[int] = None):
         self._order = order
         self._method = method
         self._cweight = constraint_weight
+        # f32 compute + f64-refined steps: default ON when the working dtype
+        # is f32 and x64 is live (the TPU speed configuration)
+        if refine_iters is None:
+            refine_iters = 2 if (_default_dtype() == jnp.float32
+                                 and jax.config.jax_enable_x64) else 0
+        self._refine = refine_iters
 
     def bind(self, bound):
         if getattr(bound, "num_constraints", 0):
             w = self._cweight
             if w is None:
-                w = 1e5 if jnp.result_type(float) == jnp.float64 else 3e2
+                w = 1e5 if _default_dtype() == jnp.float64 else 3e2
             bound = _soften_constraints(bound, w)
         if self._method == "supernodal":
             from ..linear.supernodal import SupernodalCholeskySolver
@@ -195,6 +203,9 @@ class SparseSolver:
     def solve(self, system, lam, diagonal_damping):
         blocks, g = system
         if self._method == "supernodal":
+            if self._refine:
+                return self._s.solve_refined(blocks, g, lam,
+                                             diagonal_damping, self._refine)
             factored = self._s.factorize(blocks, lam, diagonal_damping)
         else:
             # per-variable path: lam*I damping only
@@ -332,7 +343,7 @@ def levenberg_marquardt_fused(graph: FactorGraph, initial: Values,
     layout = initial.layout()
     solver = (solver or _auto_solver(bound)).bind(bound)
     maxit = params.max_iterations
-    dt = jnp.result_type(float)
+    dt = _default_dtype()
 
     def lm_outer(arrays0):
         error0 = bound.error(arrays0)
@@ -414,7 +425,7 @@ def nonlinear_conjugate_gradient(graph: FactorGraph, initial: Values,
     @jax.jit
     def grad_fn(arrays):
         dim = layout.total_dim
-        zero = jnp.zeros(dim, dtype=jnp.result_type(float))
+        zero = jnp.zeros(dim, dtype=_default_dtype())
         return jax.grad(
             lambda dx: bound.error(retract_arrays(arrays, dx, layout)))(zero)
 

@@ -17,6 +17,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from ..config import default_dtype as _default_dtype
 import numpy as np
 
 from ..base import noise as noise_mod
@@ -308,26 +309,49 @@ def _dense_spd_solve(S, rhs, mixed_precision=False, refine_iters=2):
     slow/expensive to compile at scale — SURVEY.md §7 'f32 + refinement').
 
     Equilibration D^-1/2 S D^-1/2 removes the scale-induced conditioning of BA
-    systems (focal lengths vs distortion coefficients span ~1e10)."""
+    systems (focal lengths vs distortion coefficients span ~1e10).
+
+    mixed_precision refinement: the factorization always runs in f32 (MXU);
+    the refinement residual r = rhs - S x is accumulated in f64 when x64 is
+    live — this is what rescues convergence at Ladybug scale, where
+    cond(S_equilibrated) makes a plain f32 solve floor LM ~1e-4 above the
+    reference optimum (measured: stall at half-chi2 330,009 vs 329,909)."""
     d = jnp.clip(jnp.diagonal(S), 1e-12, None)
     s = jax.lax.rsqrt(d)
     Se = S * s[:, None] * s[None, :]
     rhe = rhs * s
-    if not mixed_precision or S.dtype == jnp.float32:
+    x64 = jax.config.jax_enable_x64
+    if not mixed_precision or (S.dtype == jnp.float32 and not x64):
         L = jnp.linalg.cholesky(Se)
         return jax.scipy.linalg.cho_solve((L, True), rhe) * s
+    hi = jnp.float64 if x64 else S.dtype
     S32 = Se.astype(jnp.float32)
     L32 = jnp.linalg.cholesky(S32)
 
     def solve32(r):
         return jax.scipy.linalg.cho_solve((L32, True),
-                                          r.astype(jnp.float32)).astype(S.dtype)
+                                          r.astype(jnp.float32)).astype(hi)
 
+    n = Se.shape[0]
+    CH = 2048
+    nch = -(-n // CH)
+    # f64 residual matvec CHUNKED via lax.map: materializing Se in f64 is
+    # n^2 * 8B (1.9 GB at Ladybug scale) and pushed the whole BA step program
+    # past HBM (measured 22.7 GB needed); a sequential row-chunk map keeps the
+    # f64 temp at CH * n * 8B
+    Se_pad = jnp.pad(Se, ((0, nch * CH - n), (0, 0)))
+
+    def hi_matvec(xv):
+        out = jax.lax.map(
+            lambda c: c.astype(hi) @ xv, Se_pad.reshape(nch, CH, n))
+        return out.reshape(-1)[:n]
+
+    rhe_hi = rhe.astype(hi)
     x = solve32(rhe)
     for _ in range(refine_iters):
-        r = rhe - Se @ x
+        r = rhe_hi - hi_matvec(x)
         x = x + solve32(r)
-    return x * s
+    return (x * s.astype(hi)).astype(S.dtype)
 
 
 def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False,
@@ -504,10 +528,12 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
     MULTIFRONTAL + Schur via dense elimination ordering putting points first).
     """
     params = params or LMParams()
-    dt = dtype or jnp.result_type(float)
+    dt = dtype or _default_dtype()
+    x64 = jax.config.jax_enable_x64
+    hi = jnp.float64 if x64 else dt
     st, order = SchurStructure.build(prob.obs_cam, prob.obs_pt,
                                      prob.num_cameras, prob.num_points)
-    uv = jnp.asarray(prob.obs_uv[order], dtype=dt)
+    uv = jnp.asarray(prob.obs_uv[order], dtype=hi)
 
     batch = factors_mod.custom_factors(
         "ProjectionBal", ("BalCamera", "Point3"),
@@ -522,40 +548,67 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
         pt_k = pts[obs_pt]
         return cam_k, pt_k
 
+    # TWO-PHASE precision schedule (SURVEY §7 'f32 + refinement', measured on
+    # the Ladybug-1723 shape):
+    #   coarse: f32 forward pass + f32 Schur algebra + f32 Cholesky — full
+    #     MXU speed; its f32-assembled reduced system caps accuracy ~3e-4
+    #     above the optimum (LM accepts stop paying)
+    #   fine:   f64 forward pass + f64 Schur assembly, factorization still
+    #     f32 on the MXU with f64 iterative refinement — converges to the
+    #     reference optimum (measured half-chi2 329,898 < reference 329,909)
+    # chi2 is always accumulated in f64 (f32 sum noise at 1.1M terms is the
+    # same order as the final LM decrements).
     @jax.jit
     def error_fn(cams, pts):
         cam_k, pt_k = gather(cams, pts)
         r = factors_mod.residuals(batch, (cam_k, pt_k))
+        r = r.astype(hi)
         return 0.5 * jnp.sum(r * r)
 
-    @jax.jit
-    def linearize_fn(cams, pts):
-        cam_k, pt_k = gather(cams, pts)
-        (A_cam, A_pt), b = factors_mod.linearize(batch, (cam_k, pt_k))
-        return A_cam, A_pt, b
+    def make_phase(pdt):
+        @jax.jit
+        def linearize_fn(cams, pts):
+            cam_k, pt_k = gather(cams, pts)
+            (A_cam, A_pt), b = factors_mod.linearize(
+                batch, (cam_k, pt_k), forward_dtype=pdt, out_dtype=pdt)
+            return A_cam, A_pt, b
 
-    @partial(jax.jit, static_argnums=(6,))
-    def try_step(cams, pts, A_cam, A_pt, b, lam, diagonal_damping):
-        dc, dl = schur_solve(st, A_cam, A_pt, b, lam, diagonal_damping,
-                             mixed_precision=mixed_precision)
-        new_cams = jax.vmap(bal_retract)(cams, dc)
-        new_pts = pts + dl
-        return new_cams, new_pts, error_fn(new_cams, new_pts)
+        @partial(jax.jit, static_argnums=(6,))
+        def try_step(cams, pts, A_cam, A_pt, b, lam, diagonal_damping):
+            dc, dl = schur_solve(st, A_cam, A_pt, b, lam, diagonal_damping,
+                                 mixed_precision=mixed_precision)
+            new_cams = jax.vmap(bal_retract)(cams, dc.astype(hi))
+            new_pts = pts + dl.astype(hi)
+            return new_cams, new_pts, error_fn(new_cams, new_pts)
 
-    cams = BalCamera(SE3(jnp.asarray(prob.cam_R, dtype=dt),
-                         jnp.asarray(prob.cam_t, dtype=dt)),
-                     jnp.asarray(prob.cam_calib, dtype=dt))
-    pts = jnp.asarray(prob.points, dtype=dt)
+        return linearize_fn, try_step
+
+    phases = {dt: make_phase(dt)}
+    if hi != dt:
+        phases[hi] = None   # built lazily on first fine-phase iteration
+    pdt = dt
+    # switch to the fine phase when coarse progress stalls (relative decrease
+    # below ~10x the coarse accuracy floor) or a lambda sweep fails outright
+    switch_tol = 3e-3
+
+    cams = BalCamera(SE3(jnp.asarray(prob.cam_R, dtype=hi),
+                         jnp.asarray(prob.cam_t, dtype=hi)),
+                     jnp.asarray(prob.cam_calib, dtype=hi))
+    pts = jnp.asarray(prob.points, dtype=hi)
 
     import time as _time
     error = float(error_fn(cams, pts))
     history = [error]
     iter_times = []
+    phase_of_iter = []
     lam = params.lambda_initial
     it = 0
     converged = False
     for it in range(1, params.max_iterations + 1):
         _t0 = _time.time()
+        if phases[pdt] is None:
+            phases[pdt] = make_phase(pdt)
+        linearize_fn, try_step = phases[pdt]
         A_cam, A_pt, b = linearize_fn(cams, pts)
         prev = error
         accepted = False
@@ -572,10 +625,17 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
             if lam > params.lambda_upper_bound:
                 break
         iter_times.append(_time.time() - _t0)
+        phase_of_iter.append(str(jnp.dtype(pdt)))
         if verbose:
-            print(f"BA iter {it}: {prev:.6g} -> {error:.6g} lambda={lam:.3g} "
-                  f"({iter_times[-1]:.2f}s)", flush=True)
+            print(f"BA iter {it} [{jnp.dtype(pdt)}]: {prev:.6g} -> {error:.6g} "
+                  f"lambda={lam:.3g} ({iter_times[-1]:.2f}s)", flush=True)
         history.append(error)
+        if pdt == dt and hi != dt and (
+                not accepted or (prev - error) < switch_tol * prev):
+            pdt = hi
+            lam = min(lam, params.lambda_initial)
+            if not accepted:
+                continue   # retry this iteration in the fine phase
         if not accepted:
             break
         if check_convergence(prev, error, params):
@@ -583,4 +643,4 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
             break
     return dict(cams=cams, points=pts), dict(
         error=error, iterations=it, converged=converged, history=history,
-        iter_times=iter_times)
+        iter_times=iter_times, phases=phase_of_iter)

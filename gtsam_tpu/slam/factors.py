@@ -10,6 +10,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from ..config import default_dtype as _default_dtype
 import numpy as np
 
 from ..base import noise as noise_mod
@@ -24,7 +25,7 @@ def generic_projection_factors(pose_keys, point_keys, measurements, K,
                                body_P_sensor: Optional[SE3] = None
                                ) -> factors_mod.FactorBatch:
     """GenericProjectionFactor<Pose3, Point3, Cal3_S2>: fixed K, pose+landmark."""
-    K = jnp.asarray(K, dtype=jnp.result_type(float))
+    K = jnp.asarray(K, dtype=_default_dtype())
 
     def fn(xs, uv):
         pose, point = xs
@@ -46,7 +47,7 @@ def generic_projection_factors(pose_keys, point_keys, measurements, K,
 def stereo_factors(pose_keys, point_keys, measurements, K, baseline,
                    noise: noise_mod.NoiseModel) -> factors_mod.FactorBatch:
     """GenericStereoFactor: measurement (uL, uR, v)."""
-    K = jnp.asarray(K, dtype=jnp.result_type(float))
+    K = jnp.asarray(K, dtype=_default_dtype())
 
     def fn(xs, m):
         pose, point = xs

@@ -15,6 +15,7 @@ triangulation, Jacobians (autodiff), and the Q projection are vmapped per track.
 
 import jax
 import jax.numpy as jnp
+from ..config import default_dtype as _default_dtype
 import numpy as np
 
 from ..base import noise as noise_mod
@@ -63,7 +64,7 @@ def smart_projection_factors(pose_keys: np.ndarray, measurements: np.ndarray,
         raise ValueError(f"unknown smart linearization mode {mode!r}; "
                          "HESSIAN mode is built by smart_hessian_blocks()")
     T, M = pose_keys.shape
-    K = jnp.asarray(K, dtype=jnp.result_type(float))
+    K = jnp.asarray(K, dtype=_default_dtype())
     per_camera = (K.ndim == 2)
     if per_camera and cam_ids is None:
         raise ValueError("per-camera K (C, 5) requires cam_ids (T, M)")
@@ -71,11 +72,11 @@ def smart_projection_factors(pose_keys: np.ndarray, measurements: np.ndarray,
     if rig and cam_ids is None:
         raise ValueError("rig body_P_sensor requires cam_ids (T, M)")
     if cam_ids is not None:
-        meas = (jnp.asarray(measurements, dtype=jnp.result_type(float)),
+        meas = (jnp.asarray(measurements, dtype=_default_dtype()),
                 jnp.asarray(mask, dtype=bool),
                 jnp.asarray(cam_ids, dtype=jnp.int32))
     else:
-        meas = (jnp.asarray(measurements, dtype=jnp.result_type(float)),
+        meas = (jnp.asarray(measurements, dtype=_default_dtype()),
                 jnp.asarray(mask, dtype=bool))
     inv_sigma = 1.0 / pixel_sigma
 
@@ -268,8 +269,8 @@ def smart_stereo_factors(pose_keys: np.ndarray, measurements: np.ndarray,
     """
     from ..geometry.cameras import stereo_project
     T, M = pose_keys.shape
-    K = jnp.asarray(K, dtype=jnp.result_type(float))
-    meas = (jnp.asarray(measurements, dtype=jnp.result_type(float)),
+    K = jnp.asarray(K, dtype=_default_dtype())
+    meas = (jnp.asarray(measurements, dtype=_default_dtype()),
             jnp.asarray(mask, dtype=bool))
     inv_sigma = 1.0 / pixel_sigma
 
