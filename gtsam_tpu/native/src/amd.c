@@ -62,7 +62,9 @@ int amd_order(i32 n, const i64 *indptr, const i32 *indices, i32 *perm,
                                                   3 ordered-inline */
   i32 *head = NULL, *next = NULL, *prev = NULL, *hhead = NULL;
   i32 *order_of = (i32 *)malloc(sizeof(i32) * n);
-  if (!pstart || !elen || !vlen || !nv || !deg || !w || !state || !order_of)
+  uint8_t *inlist = (uint8_t *)calloc(n, 1); /* in current degree lists */
+  if (!pstart || !elen || !vlen || !nv || !deg || !w || !state || !order_of
+      || !inlist)
     return -1;
   for (i32 i = 0; i < n; ++i) order_of[i] = -1;
 
@@ -104,6 +106,7 @@ int amd_order(i32 n, const i64 *indptr, const i32 *indices, i32 *perm,
   for (i32 phase = 0; phase < 2; ++phase) {
     /* phase 0: free nodes; phase 1: constrained nodes */
     for (i32 i = 0; i <= n; ++i) head[i] = -1;
+    for (i32 i = 0; i < n; ++i) inlist[i] = 0;
     mindeg = n;
     for (i32 i = 0; i < n; ++i) {
       if (state[i] != 0) continue;
@@ -115,6 +118,7 @@ int amd_order(i32 n, const i64 *indptr, const i32 *indices, i32 *perm,
       prev[i] = -1;
       if (head[dg] >= 0) prev[head[dg]] = i;
       head[dg] = i;
+      inlist[i] = 1;
       if (dg < mindeg) mindeg = dg;
     }
 
@@ -138,6 +142,7 @@ int amd_order(i32 n, const i64 *indptr, const i32 *indices, i32 *perm,
       /* unlink */
       head[mindeg] = next[p];
       if (next[p] >= 0) prev[next[p]] = -1;
+      inlist[p] = 0;
 
       /* ---- eliminate supervariable p: build element Lp ---- */
       /* Lp = (vars in p's list) U (vars of p's elements), excluding dead */
@@ -215,11 +220,15 @@ int amd_order(i32 n, const i64 *indptr, const i32 *indices, i32 *perm,
       /* pass B: degrees + list rebuild + aggressive absorption */
       for (i32 k = 0; k < lplen; ++k) {
         i32 v = pool.mem[lp + k];
-        /* remove from degree list */
-        i32 dg = deg[v] < n ? deg[v] : n;
-        if (prev[v] >= 0) next[prev[v]] = next[v];
-        else if (head[dg] == v) head[dg] = next[v];
-        if (next[v] >= 0) prev[next[v]] = prev[v];
+        /* remove from degree list (only if linked in the CURRENT phase:
+           other-phase vars have stale prev/next and must not be touched) */
+        if (inlist[v]) {
+          i32 dg = deg[v] < n ? deg[v] : n;
+          if (prev[v] >= 0) next[prev[v]] = next[v];
+          else if (head[dg] == v) head[dg] = next[v];
+          if (next[v] >= 0) prev[next[v]] = prev[v];
+          inlist[v] = 0;
+        }
 
         /* compress v's element list: drop dead + absorbed, keep live with
            outside mass; aggressively absorb elements fully inside Lp */
@@ -260,13 +269,21 @@ int amd_order(i32 n, const i64 *indptr, const i32 *indices, i32 *perm,
         if (d < 1) d = 1;
         deg[v] = d;
 
-        /* reinsert into degree list */
-        dg = d < n ? d : n;
-        next[v] = head[dg];
-        prev[v] = -1;
-        if (head[dg] >= 0) prev[head[dg]] = v;
-        head[dg] = v;
-        if (dg < mindeg) mindeg = dg;
+        /* reinsert into degree list — only vars eligible in the CURRENT
+           phase; other-phase vars keep their fresh degree for the next
+           phase's list build */
+        {
+          int constrained = cperm && cperm[v];
+          if ((phase == 0 && !constrained) || (phase == 1 && constrained)) {
+            i32 dg2 = d < n ? d : n;
+            next[v] = head[dg2];
+            prev[v] = -1;
+            if (head[dg2] >= 0) prev[head[dg2]] = v;
+            head[dg2] = v;
+            inlist[v] = 1;
+            if (dg2 < mindeg) mindeg = dg2;
+          }
+        }
       }
 #ifdef DEBUG_AMD
       fprintf(stderr, "  degrees updated\n");
@@ -304,10 +321,13 @@ int amd_order(i32 n, const i64 *indptr, const i32 *indices, i32 *perm,
               state[v] = 2;
               order_of[v] = -2 - u;   /* follow u when emitting */
               /* remove v from degree list */
-              i32 dg = deg[v] < n ? deg[v] : n;
-              if (prev[v] >= 0) next[prev[v]] = next[v];
-              else if (head[dg] == v) head[dg] = next[v];
-              if (next[v] >= 0) prev[next[v]] = prev[v];
+              if (inlist[v]) {
+                i32 dg = deg[v] < n ? deg[v] : n;
+                if (prev[v] >= 0) next[prev[v]] = next[v];
+                else if (head[dg] == v) head[dg] = next[v];
+                if (next[v] >= 0) prev[next[v]] = prev[v];
+                inlist[v] = 0;
+              }
               merged = 1;
             }
             if (merged) break;
@@ -362,7 +382,7 @@ int amd_order(i32 n, const i64 *indptr, const i32 *indices, i32 *perm,
   free(pool.mem);
   free(pstart); free(elen); free(vlen); free(nv); free(deg); free(w);
   free(state); free(head); free(next); free(prev); free(hhead);
-  free(wme); free(wtag);
+  free(wme); free(wtag); free(inlist);
   free(order_of); free(reps);
   return 0;
 }

@@ -130,9 +130,17 @@ class ISAM2Tree:
     def __init__(self, relinearize_threshold: float = 0.1,
                  relinearize_skip: int = 1,
                  relax_tau: float = 0.3, force_width: int = 8,
-                 max_width: int = 48):
+                 max_width: int = 48, wildfire_threshold: float = 0.001):
         self.relin_threshold = relinearize_threshold
         self.relin_skip = relinearize_skip
+        # wildfire-style selective back-substitution (reference
+        # ISAM2Clique::optimizeWildfire, ISAM2Clique.h:90,172 — default
+        # threshold 0.001 matches ISAM2Params): after refactoring, solve the
+        # affected TOP only; if the delta change at the orphan interface is
+        # below threshold, the untouched subtrees keep their old delta and
+        # the whole-tree backward pass is skipped.  0.0 = always exact.
+        self.wildfire_threshold = wildfire_threshold
+        self._last_orphans: List[int] = []
         self._sn_params = dict(relax_tau=relax_tau, force_width=force_width,
                                max_width=max_width)
         # variables
@@ -439,6 +447,7 @@ class ISAM2Tree:
             for c in self.snodes[sid].children:
                 if c not in affected_sids:
                     orphans.append(c)
+        self._last_orphans = list(orphans)
 
         # local adjacency: factor edges within + orphan separator cliques
         import scipy.sparse as sp
@@ -458,10 +467,19 @@ class ISAM2Tree:
         adj_l = sp.csr_matrix(
             (np.ones(len(ri), dtype=np.int8), (ri, ci)), shape=(m, m))
 
-        if m > 64:
-            perm = ordering_mod.nested_dissection(adj_l)
-        else:
-            perm = ordering_mod.minimum_degree(adj_l)
+        # constrain the vars touched THIS update (new vars + new-factor vars)
+        # to eliminate LAST, so they land at the top of the rebuilt subtree
+        # and the next update's affected closure stays small — the reference's
+        # constrained-COLAMD newKeys trick (ISAM2.cpp recalculate,
+        # Ordering::ColamdConstrainedLast).  Without this, AMD eliminates the
+        # newest (degree-1) vars first, the freshest vars sink to the BOTTOM
+        # of the top, and every subsequent update refactors the whole tree.
+        recent = set(new_vids) | {v for v in touched if v in local}
+        cmask = np.zeros(m, dtype=bool)
+        for v in recent:
+            if v in local:
+                cmask[local[v]] = True
+        perm = ordering_mod.minimum_degree(adj_l, constrained_last=cmask)
         sym = sn_mod.analyze_supernodal(adj_l, perm, **self._sn_params)
 
         # assign fresh global positions in the local elimination order
@@ -560,10 +578,99 @@ class ISAM2Tree:
         refactor = self._refactor_program(sig)
         (self.Lb, self.Ubuf, self.Urhs, self.y) = refactor(
             H, g, self.Lb, self.Ubuf, self.Urhs, self.y, plans)
+        if self._try_wildfire(new_sids):
+            return
         bplans, bsig = self._backward_plans()
         backward = self._backward_program(bsig)
         x = backward(self.Lb, self.y, bplans)
         self.delta_host = np.array(x[:-1])
+
+    def _try_wildfire(self, new_sids) -> bool:
+        """Top-only backward + interface threshold test (wildfire analog).
+
+        The affected set is ancestor-closed, so the refactored top's
+        separators lie inside the top itself: a level-batched backward over
+        only the new supernodes is exact for the top's columns.  If the
+        resulting delta change at every orphan-interface variable is within
+        wildfire_threshold, the orphan subtrees keep their previous delta
+        (reference ISAM2Clique::optimizeWildfire stopping rule) and the
+        whole-tree pass is skipped."""
+        wf = self.wildfire_threshold
+        if wf is None or wf <= 0.0 or not len(self.delta_host):
+            return False
+        if len(self.delta_host) < self.nvar:
+            return False     # new variables appeared: grow delta via full pass
+        top_set = set(new_sids)
+        live_top = [s for s in new_sids if s in self.snodes]
+        if not live_top or not self._last_orphans:
+            return False
+        plans, sig = self._top_backward_plans(live_top)
+        backward = self._backward_program(sig)
+        x = np.array(backward(self.Lb, self.y, plans)[:-1])
+        top_cols = [v for s in live_top for v in self.snodes[s].cols]
+        iface = sorted({int(v) for o in self._last_orphans
+                        if o in self.snodes
+                        for v in self.snodes[o].rows})
+        if iface and np.max(np.abs(x[iface] - self.delta_host[iface])) > wf:
+            return False
+        self.delta_host[top_cols] = x[top_cols]
+        self._wf_hits = getattr(self, "_wf_hits", 0) + 1
+        return True
+
+    def _top_backward_plans(self, live_top):
+        """Backward-substitution plans restricted to the refactored top,
+        ordered parents-first (reverse local height)."""
+        d = self.d
+        top_set = set(live_top)
+        by_h: Dict[int, list] = {}
+        for sid in live_top:
+            by_h.setdefault(self._local_height(sid, top_set), []).append(sid)
+        S_u = self._mono_cap(
+            "tb_S", _pow2(max(len(v) for v in by_h.values()), 1))
+        W_u = self._mono_cap(
+            "tb_W", _bucket(max(len(self.snodes[s].cols) for s in live_top),
+                            _W_BUCKETS))
+        R_u = self._mono_cap(
+            "tb_R",
+            _bucket(max((len(self.snodes[s].rows) for s in live_top),
+                        default=0), _R_BUCKETS)
+            if any(self.snodes[s].rows for s in live_top) else 0)
+        nlev_cap = self._mono_cap("tb_nlev", _pow2(max(len(by_h), 1), 1))
+        plans = []
+        for h in sorted(by_h, reverse=True):   # roots of the top first
+            sids = by_h[h]
+            S, W, R = S_u, W_u, R_u
+            diag_ids = np.full((S, W, W), self.B_cap, dtype=np.int32)
+            panel_ids = np.full((S, R, W), self.B_cap, dtype=np.int32)
+            col_vars = np.full((S, W), self.n_cap, dtype=np.int32)
+            row_vars = np.full((S, R), self.n_cap, dtype=np.int32)
+            for si, sid in enumerate(sids):
+                s = self.snodes[sid]
+                cols, rows = s.cols, s.rows
+                for a in range(len(cols)):
+                    col_vars[si, a] = cols[a]
+                    for b in range(a + 1):
+                        diag_ids[si, a, b] = self._blk_get(cols[a], cols[b])
+                for a in range(len(rows)):
+                    row_vars[si, a] = rows[a]
+                    for b in range(len(cols)):
+                        panel_ids[si, a, b] = self._blk_get(rows[a], cols[b])
+            plans.append(dict(
+                diag_ids=jnp.asarray(diag_ids),
+                panel_ids=jnp.asarray(panel_ids),
+                col_vars=jnp.asarray(col_vars),
+                row_vars=jnp.asarray(row_vars),
+            ))
+        while len(plans) < nlev_cap:
+            plans.append(dict(
+                diag_ids=jnp.full((S_u, W_u, W_u), self.B_cap,
+                                  dtype=jnp.int32),
+                panel_ids=jnp.full((S_u, R_u, W_u), self.B_cap,
+                                   dtype=jnp.int32),
+                col_vars=jnp.full((S_u, W_u), self.n_cap, dtype=jnp.int32),
+                row_vars=jnp.full((S_u, R_u), self.n_cap, dtype=jnp.int32),
+            ))
+        return plans, (nlev_cap, S_u, W_u, R_u)
 
     # .. full assembly (H blocks + gradient), every update ..................
 

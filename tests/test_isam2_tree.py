@@ -76,7 +76,7 @@ def _check(isam, atol=1e-8):
 
 class TestISAM2Tree:
     def test_chain_matches_batch(self):
-        isam = ISAM2Tree(relinearize_threshold=1e9)  # pure linear growth
+        isam = ISAM2Tree(relinearize_threshold=1e9, wildfire_threshold=0.0)  # pure linear growth
         rng = np.random.default_rng(0)
         isam.update([_se2_prior(0, [0.0, 0.0, 0.0])],
                     [(0, "SE2", jnp.zeros(3))])
@@ -89,7 +89,7 @@ class TestISAM2Tree:
             _check(isam)
 
     def test_loop_closure_matches_batch(self):
-        isam = ISAM2Tree(relinearize_threshold=1e9)
+        isam = ISAM2Tree(relinearize_threshold=1e9, wildfire_threshold=0.0)
         rng = np.random.default_rng(1)
         isam.update([_se2_prior(0, [0.0, 0.0, 0.0])],
                     [(0, "SE2", jnp.zeros(3))])
@@ -104,7 +104,7 @@ class TestISAM2Tree:
         _check(isam)
 
     def test_relinearization(self):
-        isam = ISAM2Tree(relinearize_threshold=0.01, relinearize_skip=1)
+        isam = ISAM2Tree(relinearize_threshold=0.01, relinearize_skip=1, wildfire_threshold=0.0)
         rng = np.random.default_rng(2)
         isam.update([_se2_prior(0, [0.0, 0.0, 0.0])],
                     [(0, "SE2", jnp.zeros(3))])
@@ -118,7 +118,7 @@ class TestISAM2Tree:
 
     def test_estimate_converges(self):
         # after enough relinearized updates, estimate == batch LM optimum
-        isam = ISAM2Tree(relinearize_threshold=1e-6, relinearize_skip=1)
+        isam = ISAM2Tree(relinearize_threshold=1e-6, relinearize_skip=1, wildfire_threshold=0.0)
         graph = gt.FactorGraph()
         isam.update([_se2_prior(0, [0.0, 0.0, 0.0])],
                     [(0, "SE2", jnp.zeros(3))])
@@ -140,7 +140,7 @@ class TestISAM2Tree:
         assert abs(float(graph.error(est)) - res.error) < 1e-6
 
     def test_marginalize_leaves(self):
-        isam = ISAM2Tree(relinearize_threshold=1e9)
+        isam = ISAM2Tree(relinearize_threshold=1e9, wildfire_threshold=0.0)
         isam.update([_se2_prior(0, [0.0, 0.0, 0.0])],
                     [(0, "SE2", jnp.zeros(3))])
         for i in range(1, 8):
@@ -154,3 +154,32 @@ class TestISAM2Tree:
         est_after = np.asarray(isam.estimate_of(7))
         np.testing.assert_allclose(est_after, est_before, atol=1e-6)
         assert isam.stats()["frozen"] >= 1 or not frozen
+
+
+def test_wildfire_partial_backsub():
+    """Wildfire threshold: per-update delta stays within threshold-induced
+    error of the exact solve, and far-from-update subtrees actually skip the
+    full backward pass (ISAM2Clique.h:90,172 semantics)."""
+    import gtsam_tpu as gt
+
+    def build(wf):
+        # small supernode caps force a real multi-supernode tree (a 40-pose
+        # chain otherwise amalgamates into one clique and wildfire is moot)
+        isam = ISAM2Tree(relinearize_threshold=1e9, wildfire_threshold=wf,
+                         force_width=2, max_width=4)
+        isam.update([_se2_prior(0, [0.0, 0.0, 0.0])],
+                    [(0, "SE2", np.array([0.0, 0.0, 0.0]))])
+        for i in range(1, 40):
+            isam.update([_se2_between(i - 1, i, [1.0, 0.0, 0.0])],
+                        [(i, "SE2", np.array([float(i), 0.05, 0.0]))])
+        return isam
+
+    exact = build(0.0)
+    wild = build(0.01)
+    d_exact = exact.delta_host[:exact.nvar]
+    d_wild = wild.delta_host[:wild.nvar]
+    # wildfire error bounded by a small multiple of the threshold
+    assert np.max(np.abs(d_exact - d_wild)) < 0.1
+    # and the wildfire run really took the partial path at least once
+    n_partial = getattr(wild, "_wf_hits", 0)
+    assert n_partial > 0
