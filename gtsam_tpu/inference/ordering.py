@@ -77,13 +77,30 @@ def natural(n: int) -> np.ndarray:
     return np.arange(n)
 
 
-def nested_dissection(adj: sp.csr_matrix, leaf_size: int = 32) -> np.ndarray:
-    """METIS-style nested dissection via BFS vertex bisection (host-side).
+def nested_dissection(adj: sp.csr_matrix, leaf_size: int = 32,
+                      method: str = "auto") -> np.ndarray:
+    """METIS-class nested dissection.
 
-    Reference analog: Ordering::Metis (Ordering.h:201).  Produces balanced
-    elimination trees (shallow level schedules + small separators), which is
-    what the level-scheduled device factorization needs.
+    Native path (gtsam_tpu/native/src/nd.c): multilevel vertex bisection —
+    heavy-edge-matching coarsening, BFS initial bisection, boundary-FM
+    refinement per level, vertex separators, AMD leaves.  Python fallback:
+    single-level BFS bisection.  Reference analog: Ordering::Metis
+    (Ordering.h:201), MetisIndex.h:37.  Produces balanced elimination trees
+    (shallow level schedules + small separators), which is what the
+    level-scheduled device factorization needs.
     """
+    n_ = adj.shape[0]
+    if n_ > 2 and method != "bfs":
+        try:
+            from ..native import nd_order_native
+            As_ = ((adj + adj.T) > 0).astype(np.int8).tocsr()
+            perm = nd_order_native(n_, As_.indptr, As_.indices, leaf_size)
+            if perm is not None:
+                return perm
+        except Exception:
+            pass
+        if method == "native":
+            pass   # fall through to the Python implementation as backup
     from scipy.sparse.csgraph import breadth_first_order, connected_components
 
     A = ((adj + adj.T) > 0).astype(np.int8).tocsr()

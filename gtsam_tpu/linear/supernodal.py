@@ -136,12 +136,17 @@ class SupernodalCholeskySolver:
             # cost, not just fill; reference picks COLAMD vs METIS statically,
             # Ordering.h:41)
             cands = []
-            for nm, p in (("amd", ordering_mod.minimum_degree(adj)),
-                          ("nd", ordering_mod.nested_dissection(adj))):
+            for nm, p in (
+                    ("amd", ordering_mod.minimum_degree(adj)),
+                    ("nd", ordering_mod.nested_dissection(adj,
+                                                          method="native")),
+                    ("nd-bfs", ordering_mod.nested_dissection(adj,
+                                                              method="bfs"))):
                 s = sn_mod.analyze_supernodal(adj, p, **kw)
                 cands.append((self._level_cost(s), nm, s))
             cands.sort(key=lambda t: t[0])
             sym = cands[0][2]
+            self.chosen_order = cands[0][1]
         self.sym = sym
         n, d = self.nvars, self.d
         B = sym.nnz_blocks

@@ -14,12 +14,13 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "libgtsam_native.so")
 _SRC = os.path.join(_HERE, "src", "symbolic.c")
 _SRC_AMD = os.path.join(_HERE, "src", "amd.c")
+_SRC_ND = os.path.join(_HERE, "src", "nd.c")
 
 _lib = None
 
 
 def _build():
-    cmd = ["gcc", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC, _SRC_AMD]
+    cmd = ["gcc", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC, _SRC_AMD, _SRC_ND]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -32,13 +33,16 @@ def get_lib():
     try:
         if (not os.path.exists(_SO)
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC_AMD)):
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC_AMD)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC_ND)):
             _build()
         lib = ctypes.CDLL(_SO)
         lib.symbolic_analyze.restype = ctypes.c_int64
         lib.count_triples.restype = ctypes.c_int64
         lib.emit_triples.restype = ctypes.c_int64
         lib.amd_order.restype = ctypes.c_int32
+        lib.nd_order.restype = ctypes.c_int32
+        lib.nd_bisect.restype = ctypes.c_int32
         _lib = lib
     except Exception:
         _lib = None
@@ -122,3 +126,35 @@ def amd_order_native(n, indptr, indices, constrained_last=None):
     if rc != 0:
         return None
     return perm.astype(np.int64)
+
+
+def nd_order_native(n, indptr, indices, leaf_size=32):
+    """Multilevel nested dissection (native C, METIS-class); perm or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    perm = np.empty(n, dtype=np.int32)
+    rc = lib.nd_order(ctypes.c_int32(n), _ptr(indptr, ctypes.c_int64),
+                      _ptr(indices, ctypes.c_int32),
+                      _ptr(perm, ctypes.c_int32), ctypes.c_int32(leaf_size))
+    if rc != 0:
+        return None
+    return perm.astype(np.int64)
+
+
+def nd_bisect_native(n, indptr, indices):
+    """Balanced vertex bisection; part[i] in {0,1,2=separator} or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    part = np.empty(n, dtype=np.int32)
+    rc = lib.nd_bisect(ctypes.c_int32(n), _ptr(indptr, ctypes.c_int64),
+                       _ptr(indices, ctypes.c_int32),
+                       _ptr(part, ctypes.c_int32))
+    if rc != 0:
+        return None
+    return part

@@ -170,7 +170,7 @@ class SparseSolver:
     (see _soften_constraints); constraint_weight defaults per dtype.
     """
 
-    def __init__(self, order: str = "nd", method: str = "supernodal",
+    def __init__(self, order: str = "auto", method: str = "supernodal",
                  constraint_weight: Optional[float] = None,
                  refine_iters: Optional[int] = None):
         self._order = order

@@ -409,7 +409,11 @@ def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False,
 
     # reduced camera matrix: S[ca, cb] -= WC_a W_b^T over track pairs
     Sflat = jnp.zeros((M * M, 81), dtype=dt)
-    if st.sym_groups:
+    # sym fast path only in f32: its fused pair-product buffers are ~5x the
+    # chunked general path's peak, which in f64 overflows HBM at Ladybug
+    # scale (measured 20.5 GB needed); the general path below slices pairs
+    # in 128k chunks so the f64 fine phase stays memory-bounded
+    if st.sym_groups and dt == jnp.float32:
         # fast path: undirected upper pairs; the cell sort is composed into
         # the operand gather indices so product rows are BORN cell-sorted
         # (flat 81-lane products only — (…,9,9) trailing dims tile to 25x
@@ -566,6 +570,11 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
         return 0.5 * jnp.sum(r * r)
 
     def make_phase(pdt):
+        # coarse (f32) phase: plain f32 Cholesky — its accuracy floor is hit
+        # long before the refinement would matter, and skipping the f64
+        # refinement keeps the fused step program comfortably inside HBM
+        mp_phase = mixed_precision and pdt != jnp.float32
+
         @jax.jit
         def linearize_fn(cams, pts):
             cam_k, pt_k = gather(cams, pts)
@@ -576,7 +585,7 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
         @partial(jax.jit, static_argnums=(6,))
         def try_step(cams, pts, A_cam, A_pt, b, lam, diagonal_damping):
             dc, dl = schur_solve(st, A_cam, A_pt, b, lam, diagonal_damping,
-                                 mixed_precision=mixed_precision)
+                                 mixed_precision=mp_phase)
             new_cams = jax.vmap(bal_retract)(cams, dc.astype(hi))
             new_pts = pts + dl.astype(hi)
             return new_cams, new_pts, error_fn(new_cams, new_pts)
