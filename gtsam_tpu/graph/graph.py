@@ -183,12 +183,13 @@ class BoundGraph:
             )
             J, r = factors_mod.linearize_raw(b, xs)
             rows = row0 + np.arange(len(n_idx))
-            c = c.at[rows].set(-r[n_idx, r_idx])
+            c = c.at[rows].set(-r[n_idx, r_idx].astype(dt))
             dims = b.dims()
             for i in range(b.arity):
                 cols = (st.col_offsets[i][n_idx][:, None]
                         + np.arange(dims[i])[None, :])
-                C = C.at[rows[:, None], cols].add(J[i][n_idx, r_idx, :])
+                C = C.at[rows[:, None], cols].add(
+                    J[i][n_idx, r_idx, :].astype(dt))
         return C, c
 
     def gradient(self, arrays):

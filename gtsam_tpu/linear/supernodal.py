@@ -527,6 +527,19 @@ class SupernodalCholeskySolver:
                 x_old[sel, :dim].reshape(-1))
         return delta
 
+    def pack_rhs(self, vec):
+        """Canonical flat (total_dim,) vector -> (nvars, d) permuted-padded
+        gradient layout (inverse of _flatten)."""
+        out = jnp.zeros((self.nvars, self.d), dtype=vec.dtype)
+        for dim in np.unique(self.var_dims):
+            sel = np.where(self.var_dims == dim)[0]
+            offs = self.var_offsets[sel]
+            idx = offs[:, None] + np.arange(dim)[None, :]
+            rows = self.sym.inv_perm[sel]
+            out = out.at[rows[:, None], np.arange(dim)[None, :]].set(
+                vec[idx.reshape(-1)].reshape(len(sel), dim))
+        return out
+
     def solve(self, arrays, lam=0.0, diagonal_damping: bool = False,
               refine_iters: int = 0):
         blocks, g = self.system(arrays)

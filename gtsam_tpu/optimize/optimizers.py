@@ -184,10 +184,17 @@ class SparseSolver:
         self._refine = refine_iters
 
     def bind(self, bound):
+        self._orig_bound = bound
+        self._w = None
         if getattr(bound, "num_constraints", 0):
             w = self._cweight
             if w is None:
-                w = 1e5 if _default_dtype() == jnp.float64 else 3e2
+                # modest weight: the augmented-Lagrangian refinement supplies
+                # exactness (contraction ~1/w^2 per pass), so w only needs to
+                # keep M=H+w^2C'C well-separated — large w would instead
+                # poison the factorization with cond(M) ~ w^2
+                w = 1e3 if _default_dtype() == jnp.float64 else 1e2
+            self._w = w
             bound = _soften_constraints(bound, w)
         if self._method == "supernodal":
             from ..linear.supernodal import SupernodalCholeskySolver
@@ -198,9 +205,15 @@ class SparseSolver:
         return self
 
     def system(self, arrays):
+        if self._w is not None and self._method == "supernodal":
+            blocks, g = self._s.system(arrays)
+            C, c = self._orig_bound.constraint_system(arrays)
+            return blocks, g, C, c
         return self._s.system(arrays)
 
     def solve(self, system, lam, diagonal_damping):
+        if len(system) == 4:
+            return self._solve_constrained(system, lam, diagonal_damping)
         blocks, g = system
         if self._method == "supernodal":
             if self._refine:
@@ -211,6 +224,29 @@ class SparseSolver:
             # per-variable path: lam*I damping only
             factored = self._s.factorize(blocks, lam)
         return self._s.solve_factored(factored, g)
+
+    def _solve_constrained(self, system, lam, diagonal_damping,
+                           al_iters: int = 3):
+        """EXACT sigma=0 constraints on the sparse path: method of weighting
+        + augmented-Lagrangian refinement.
+
+        The factorized system is the weighted one, M = H + w^2 C'C (damped);
+        iterating  dx_k = M^-1 (g_w + C' nu_k),  nu_{k+1} = nu_k + w^2 (c -
+        C dx_k)  contracts the constraint violation by ~O(1/w^2) per pass, so
+        three passes reach the exact KKT solution to machine precision —
+        replacing the O(w^-2) bias of plain weighting (reference handles this
+        with constraint-aware QR pivoting, NoiseModel.h:260,514; pivoting is
+        hostile to static-shape batched fronts, refinement is not)."""
+        blocks, g, C, c = system
+        factored = self._s.factorize(blocks, lam, diagonal_damping)
+        w2 = jnp.asarray(self._w, dtype=g.dtype) ** 2
+        nu = jnp.zeros_like(c)
+        dx = None
+        for _ in range(al_iters):
+            rhs = g + self._s.pack_rhs(C.T @ nu)
+            dx = self._s.solve_factored(factored, rhs)
+            nu = nu + w2 * (c - C @ dx)
+        return dx
 
     def check_system(self, arrays, lam=0.0):
         """Raise IndeterminantLinearSystemError on bad pivots (supernodal)."""
