@@ -78,12 +78,13 @@ def _upcast(tree, hi):
     return jax.tree.map(c, tree)
 
 
-def residuals(batch: FactorBatch, xs):
+def residuals(batch: FactorBatch, xs, measurements=None):
     """Batched unwhitened residuals: xs = tuple of stacked elements per slot.
 
-    Computed in f64 under the mixed-precision policy (see _hi_dtype)."""
+    Computed in f64 under the mixed-precision policy (see _hi_dtype).
+    `measurements` overrides batch.measurements (chunked callers)."""
     hi = _hi_dtype()
-    meas = batch.measurements
+    meas = measurements if measurements is not None else batch.measurements
     if hi is not None:
         xs = _upcast(xs, hi)
         meas = _upcast(meas, hi)
@@ -93,7 +94,8 @@ def residuals(batch: FactorBatch, xs):
     return jax.vmap(one)(xs, meas)
 
 
-def linearize_raw(batch: FactorBatch, xs, forward_dtype=None):
+def linearize_raw(batch: FactorBatch, xs, forward_dtype=None,
+                  measurements=None):
     """Batched UNWHITENED tangent-space Jacobians/residuals: (J, r) with
     J = tuple of (N, rdim, d_i), r = (N, rdim) raw residuals.
 
@@ -109,7 +111,7 @@ def linearize_raw(batch: FactorBatch, xs, forward_dtype=None):
     retracts = tuple(manifolds.get(t).retract for t in batch.var_types)
     hi = forward_dtype if forward_dtype is not None else _hi_dtype()
     dt = hi if hi is not None else _default_dtype()
-    meas = batch.measurements
+    meas = measurements if measurements is not None else batch.measurements
     if hi is not None:
         xs = _upcast(xs, hi)
         meas = _upcast(meas, hi)
@@ -127,7 +129,8 @@ def linearize_raw(batch: FactorBatch, xs, forward_dtype=None):
     return jax.vmap(one)(xs, meas)
 
 
-def linearize(batch: FactorBatch, xs, forward_dtype=None, out_dtype=None):
+def linearize(batch: FactorBatch, xs, forward_dtype=None, out_dtype=None,
+              measurements=None):
     """Batched whitened Jacobians/residuals in tangent space.
 
     Returns (A: tuple of (N, rdim, d_i), b: (N, rdim)) with convention
@@ -138,7 +141,7 @@ def linearize(batch: FactorBatch, xs, forward_dtype=None, out_dtype=None):
         return J, b
 
     out_dt = out_dtype if out_dtype is not None else _default_dtype()
-    J, r = linearize_raw(batch, xs, forward_dtype)
+    J, r = linearize_raw(batch, xs, forward_dtype, measurements)
     wr = batch.noise.whiten(r)
     wJ = tuple(batch.noise.whiten_jacobian(Ji) for Ji in J)
     w = batch.noise.robust_weights(wr)

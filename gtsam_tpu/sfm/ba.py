@@ -297,10 +297,38 @@ def _flat_mm(X, Y, p, q, r):
     return out
 
 
+def _inv3x3(Hd):
+    """Batched closed-form (adjugate) 3x3 inverse.
+
+    TPU-native: pure elementwise mul/add — works in emulated f64 (XLA's
+    LuDecomposition expander, which jnp.linalg.inv lowers to, is f32-only on
+    TPU) and beats an LU kernel for 3x3 anyway."""
+    a, b, c = Hd[..., 0, 0], Hd[..., 0, 1], Hd[..., 0, 2]
+    d, e, f = Hd[..., 1, 0], Hd[..., 1, 1], Hd[..., 1, 2]
+    g, h, i = Hd[..., 2, 0], Hd[..., 2, 1], Hd[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    Hc = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    inv_det = 1.0 / det
+    adj = jnp.stack([
+        jnp.stack([A, B, C], axis=-1),
+        jnp.stack([D, E, F], axis=-1),
+        jnp.stack([G, Hc, I], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]
+
+
 def _invert_3x3_psd(H, lam):
     """Batched damped inverse of (N,3,3) PSD blocks."""
     Hd = H + lam * jnp.eye(3, dtype=H.dtype)
-    return jnp.linalg.inv(Hd)
+    return _inv3x3(Hd)
 
 
 def _dense_spd_solve(S, rhs, mixed_precision=False, refine_iters=2):
@@ -391,7 +419,7 @@ def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False,
 
     if diagonal_damping:
         hdiag = (Hll[:, 0] + Hll[:, 4] + Hll[:, 8]) / 3.0
-        C = jnp.linalg.inv(
+        C = _inv3x3(
             Hll.reshape(-1, 3, 3)
             + hdiag[:, None, None] * lam * jnp.eye(3, dtype=dt)).reshape(-1, 9)
     else:
@@ -569,6 +597,20 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
         r = r.astype(hi)
         return 0.5 * jnp.sum(r * r)
 
+    # chunked linearize: 550k vmapped jacfwds materialize multi-GB
+    # intermediate chains; the f64-emulated fine phase blew past HBM
+    # (measured 20.5 GB).  lax.map over NCH chunks bounds the temp to
+    # 1/NCH of that while outputs stream into the full (K,...) buffers.
+    Kk = len(st.obs_cam)
+    NCH = 8
+    CHK = -(-Kk // NCH)
+    pad_idx = np.concatenate([
+        np.arange(Kk, dtype=np.int64),
+        np.zeros(NCH * CHK - Kk, dtype=np.int64)])
+    obs_cam_ch = jnp.asarray(st.obs_cam[pad_idx].reshape(NCH, CHK))
+    obs_pt_ch = jnp.asarray(st.obs_pt[pad_idx].reshape(NCH, CHK))
+    uv_ch = uv[jnp.asarray(pad_idx)].reshape(NCH, CHK, 2)
+
     def make_phase(pdt):
         # coarse (f32) phase: plain f32 Cholesky — its accuracy floor is hit
         # long before the refinement would matter, and skipping the f64
@@ -577,10 +619,20 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
 
         @jax.jit
         def linearize_fn(cams, pts):
-            cam_k, pt_k = gather(cams, pts)
-            (A_cam, A_pt), b = factors_mod.linearize(
-                batch, (cam_k, pt_k), forward_dtype=pdt, out_dtype=pdt)
-            return A_cam, A_pt, b
+            def one_chunk(args):
+                oc, op, m = args
+                cam_k = jax.tree.map(lambda a: a[oc], cams)
+                pt_k = pts[op]
+                (A_cam, A_pt), b = factors_mod.linearize(
+                    batch, (cam_k, pt_k), forward_dtype=pdt, out_dtype=pdt,
+                    measurements=m)
+                return A_cam, A_pt, b
+
+            Ac, Ap, b = jax.lax.map(one_chunk,
+                                    (obs_cam_ch, obs_pt_ch, uv_ch))
+            return (Ac.reshape(NCH * CHK, 2, 9)[:Kk],
+                    Ap.reshape(NCH * CHK, 2, 3)[:Kk],
+                    b.reshape(NCH * CHK, 2)[:Kk])
 
         @partial(jax.jit, static_argnums=(6,))
         def try_step(cams, pts, A_cam, A_pt, b, lam, diagonal_damping):

@@ -3,6 +3,7 @@ ScenarioRunner, NonlinearISAM (reference: testSimilarity2.cpp, testCyclic.cpp,
 ScenarioRunner-based navigation tests, testNonlinearISAM.cpp)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import gtsam_tpu as gt
@@ -115,6 +116,7 @@ class TestScenario:
 
 
 class TestNonlinearISAM:
+    @pytest.mark.slow
     def test_matches_batch_at_reorder(self):
         isam = NonlinearISAM(reorder_interval=1)
         graph_all = gt.FactorGraph()

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import gtsam_tpu as gt
 from gtsam_tpu.geometry import se3, triangulation as tri
@@ -26,6 +27,7 @@ class TestPCG:
 
 
 class TestMarginals:
+    @pytest.mark.slow
     def test_dense_sparse_agree(self):
         g, vals = mixed_graph(n=25, nl=4)
         res = gt.levenberg_marquardt(g, vals, gt.LMParams(max_iterations=10))

@@ -7,6 +7,7 @@ machine-precision constraint satisfaction after optimization.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import gtsam_tpu as gt
@@ -158,6 +159,8 @@ def test_fused_lm_with_constraints():
 class TestSparseConstrainedWeighting:
     """Sparse solver handles sigma==0 rows via the method of weighting;
     step must match the dense exact-KKT path to tight tolerance."""
+
+    @pytest.mark.slow
 
     def test_sparse_matches_dense_kkt(self):
         import numpy as np

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import gtsam_tpu as gt
 from gtsam_tpu.basis import chebyshev as cheb
@@ -14,6 +15,7 @@ rng = np.random.default_rng(8)
 
 
 class TestGNC:
+    @pytest.mark.slow
     def test_rejects_outlier_loop_closure(self):
         """Pose chain with one gross outlier closure: GNC downweights it."""
         n = 8
@@ -38,6 +40,8 @@ class TestGNC:
         assert weights[1][0] < 0.1     # outlier rejected
         got = np.asarray(res.values.at(7))
         np.testing.assert_allclose(got[0], 7.0, atol=0.1)
+
+    @pytest.mark.slow
 
     def test_gm_variant(self):
         g = gt.FactorGraph()
@@ -89,6 +93,7 @@ class TestKalman:
 
 
 class TestFixedLag:
+    @pytest.mark.slow
     def test_marginalize_preserves_posterior(self):
         """Marginalizing a middle variable must keep the remaining optimum."""
         g = gt.FactorGraph()
@@ -111,6 +116,8 @@ class TestFixedLag:
         for k in [1, 2]:
             np.testing.assert_allclose(np.asarray(res2.values.at(k)),
                                        np.asarray(full.values.at(k)), atol=1e-6)
+
+    @pytest.mark.slow
 
     def test_fixed_lag_smoother_window(self):
         sm = BatchFixedLagSmoother(FixedLagParams(lag=2.5))
@@ -183,6 +190,7 @@ class TestBasis:
 
 
 class TestIncrementalFixedLag:
+    @pytest.mark.slow
     def test_window_and_equivalence(self):
         """IncrementalFixedLagSmoother keeps the lag window, marginalizes the
         rest, and matches the batch smoother estimate on a chain

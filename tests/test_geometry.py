@@ -77,6 +77,8 @@ class TestSO3:
         q = so3.to_quaternion(R)
         np.testing.assert_allclose(so3.from_quaternion(q), R, atol=1e-12)
 
+    @pytest.mark.slow
+
     def test_expmap_grad_at_zero_no_nan(self):
         J = jax.jacfwd(so3.expmap)(jnp.zeros(3))
         assert not np.any(np.isnan(J))

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gtsam_tpu.base import sampling
 from gtsam_tpu.base.keys import (labeled_symbol, labeled_symbol_chr,
@@ -154,6 +155,7 @@ class TestLabeledSymbol:
 
 
 class TestPlanesLines:
+    @pytest.mark.slow
     def test_plane_roundtrip_and_estimation(self):
         from gtsam_tpu.geometry import planes_lines as pl, so3 as _so3
         from gtsam_tpu.geometry.se3 import SE3

@@ -6,6 +6,7 @@ idiom)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import gtsam_tpu as gt
 from gtsam_tpu.graph import factors as factors_mod
@@ -49,6 +50,8 @@ class TestLinearize:
                     Jfd_w = Rk @ Jfd
                 np.testing.assert_allclose(wJ[s][k], Jfd_w, atol=atol)
 
+    @pytest.mark.slow
+
     def test_between_se3_jacobians(self):
         from gtsam_tpu.geometry import se3, so3
         n = 5
@@ -62,6 +65,8 @@ class TestLinearize:
                                    gt.noise.isotropic(6, 0.3))
         self._check_batch(batch, (T, T2))
 
+    @pytest.mark.slow
+
     def test_between_se2_jacobians(self):
         n = 4
         x1 = jnp.asarray(rng.normal(size=(n, 3)))
@@ -70,6 +75,8 @@ class TestLinearize:
         batch = gt.between_factors("SE2", np.arange(n), np.arange(n) + 100, meas,
                                    gt.noise.sigmas(np.abs(rng.normal(size=(n, 3))) + 0.1))
         self._check_batch(batch, (x1, x2))
+
+    @pytest.mark.slow
 
     def test_prior_so3_jacobians(self):
         from gtsam_tpu.geometry import so3
@@ -159,6 +166,8 @@ class TestOptimize:
         g, init = self._chain_graph()
         r = gt.dogleg(g, init)
         assert r.error < 1e-18
+
+    @pytest.mark.slow
 
     def test_nonlinear_cg_matches_gn(self):
         g, init = self._chain_graph()

@@ -2,6 +2,7 @@
 loop-closure hypothesis selection) — testHybridGaussianFactorGraph idioms."""
 
 import numpy as np
+import pytest
 
 import gtsam_tpu as gt
 from gtsam_tpu.discrete.discrete import DiscreteFactor
@@ -32,6 +33,8 @@ class TestHybrid:
         init = gt.Values.from_entries([
             (0, "SE2", np.zeros(3)), (1, "SE2", np.array([0.5, 0, 0]))])
         return g, init
+
+    @pytest.mark.slow
 
     def test_mode_selection(self):
         for true_mode in (0, 1):

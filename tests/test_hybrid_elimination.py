@@ -8,6 +8,7 @@ per-assignment Gaussian solve."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import gtsam_tpu as gt
 from gtsam_tpu.hybrid import elimination as he
@@ -41,6 +42,7 @@ def _tiny_switching_graph():
 
 
 class TestHybridElimination:
+    @pytest.mark.slow
     def test_posterior_matches_enumeration(self):
         hfg, values = _tiny_switching_graph()
         factors = he.linearize_hybrid(hfg, values)
@@ -111,6 +113,8 @@ class TestHybridElimination:
         assignment, sol = bn.optimize()
         assert assignment[100] == 0 and assignment[101] == 0
 
+    @pytest.mark.slow
+
     def test_mode_chain_mpe(self):
         """A 10-edge mode chain (2^10 joint assignments at the root) still
         yields the right MPE — the vmapped-QR axis simply widens."""
@@ -138,6 +142,7 @@ class TestHybridElimination:
 
 
 class TestHybridSmoother:
+    @pytest.mark.slow
     def test_incremental_with_pruning(self):
         """Incremental updates keep the joint mode table bounded and pick the
         right modes (HybridSmoother analog)."""

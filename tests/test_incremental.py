@@ -2,6 +2,7 @@
 capacity-growth behavior."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -12,6 +13,7 @@ rng = np.random.default_rng(3)
 
 
 class TestIncrementalSmoother:
+    @pytest.mark.slow
     def test_matches_batch(self):
         sm = IncrementalSmoother(relinearize_threshold=0.0, relinearize_skip=1)
         prior = gt.prior_factors("SE2", [0], np.zeros((1, 3)),
@@ -58,6 +60,8 @@ class TestIncrementalSmoother:
             sm.update()
         got = np.asarray(sm.estimate_of(L(0)))
         np.testing.assert_allclose(got, lm, atol=1e-3)
+
+    @pytest.mark.slow
 
     def test_capacity_growth_consistency(self):
         """Growing past several capacity doublings keeps the solution exact."""

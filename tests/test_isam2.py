@@ -2,6 +2,7 @@
 incremental results match batch optimization on the same graph."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -17,6 +18,7 @@ def odometry_step(i, noise=0.05):
 
 
 class TestISAM2:
+    @pytest.mark.slow
     def test_incremental_matches_batch(self):
         """Grow a 2D chain with loop closures; after each update, the estimate
         must match a batch Gauss-Newton solve to high accuracy."""
@@ -71,6 +73,8 @@ class TestISAM2:
         np.testing.assert_allclose(np.asarray(isam.lin_point.at(0)), lp0)
         # estimate still moved via delta
         assert abs(float(isam.delta[0])) > 1e-3
+
+    @pytest.mark.slow
 
     def test_sparse_auto_switch(self):
         isam = ISAM2(ISAM2Params(relinearize_skip=1, relinearize_threshold=0.0,

@@ -75,6 +75,7 @@ def _check(isam, atol=1e-8):
 
 
 class TestISAM2Tree:
+    @pytest.mark.slow
     def test_chain_matches_batch(self):
         isam = ISAM2Tree(relinearize_threshold=1e9, wildfire_threshold=0.0)  # pure linear growth
         rng = np.random.default_rng(0)
@@ -87,6 +88,8 @@ class TestISAM2Tree:
             isam.update([_se2_between(i - 1, i, meas)],
                         [(i, "SE2", jnp.asarray(pose))])
             _check(isam)
+
+    @pytest.mark.slow
 
     def test_loop_closure_matches_batch(self):
         isam = ISAM2Tree(relinearize_threshold=1e9, wildfire_threshold=0.0)
@@ -154,6 +157,9 @@ class TestISAM2Tree:
         est_after = np.asarray(isam.estimate_of(7))
         np.testing.assert_allclose(est_after, est_before, atol=1e-6)
         assert isam.stats()["frozen"] >= 1 or not frozen
+
+
+@pytest.mark.slow
 
 
 def test_wildfire_partial_backsub():

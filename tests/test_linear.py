@@ -1,6 +1,7 @@
 """Linear solver tests: sparse level-scheduled block Cholesky vs dense
 (the reference's QR-vs-Cholesky cross-check idiom, SURVEY.md §4 item 5)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,6 +50,7 @@ def mixed_graph(n=50, nl=8):
 
 
 class TestSparseCholesky:
+    @pytest.mark.slow
     def test_matches_dense_solve(self):
         g, vals = mixed_graph()
         bound = g.bind(vals)
@@ -68,6 +70,8 @@ class TestSparseCholesky:
                                           solver=gt.SparseSolver())
         np.testing.assert_allclose(r_sparse.error, r_dense.error,
                                    rtol=1e-8, atol=1e-10)
+
+    @pytest.mark.slow
 
     def test_tree_graph(self):
         """Pure tree (no loops): zero fill, single sweep."""
@@ -92,6 +96,7 @@ class TestSparseCholesky:
 
 
 class TestSubgraphPCG:
+    @pytest.mark.slow
     def test_matches_dense(self):
         from gtsam_tpu.linear.pcg import SubgraphPCGSolver
         g, vals = mixed_graph(n=40, nl=6)
@@ -103,6 +108,8 @@ class TestSubgraphPCG:
         scale = float(jnp.abs(dx).max())
         np.testing.assert_allclose(np.asarray(dx_sg), np.asarray(dx),
                                    atol=1e-6 * max(scale, 1.0))
+
+    @pytest.mark.slow
 
     def test_lm_with_subgraph(self):
         from gtsam_tpu.linear.pcg import SubgraphPCGSolver
@@ -133,7 +140,6 @@ class TestNativeSymbolic:
         inv[perm] = np.arange(len(vid))
         s_nat = sm._analyze_native(adj, perm, inv)
         if s_nat is None:
-            import pytest
             pytest.skip("native build unavailable")
         os.environ["GTSAM_TPU_NO_NATIVE"] = "1"
         nat._lib = None

@@ -6,6 +6,7 @@ small VIO-style smoothing problem."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import gtsam_tpu as gt
 from gtsam_tpu.geometry import se3, so3
@@ -57,6 +58,8 @@ class TestPreintegration:
         self.params = PreintegrationParams(gravity=tuple(GRAVITY))
         self.scenario = ConstantTwistScenario([0.1, 0.2, 0.3], [1.0, 0.0, 0.0])
 
+    @pytest.mark.slow
+
     def test_predict_matches_ground_truth(self):
         accs, gyros, dts = simulate(self.scenario, T=1.0, dt=1e-3)
         pim = preintegrate(accs, gyros, dts, np.zeros(6), self.params)
@@ -94,6 +97,8 @@ class TestPreintegration:
         eigs = np.linalg.eigvalsh(np.asarray(pim.cov))
         assert eigs.min() > 0  # PSD and nonsingular after integration
 
+    @pytest.mark.slow
+
     def test_merge(self):
         accs, gyros, dts = simulate(self.scenario, T=1.0, dt=1e-3)
         h = len(dts) // 2
@@ -122,6 +127,8 @@ class TestImuFactor:
         )
         r = factors_mod.residuals(batch, xs)
         assert float(jnp.abs(r).max()) < 2e-4
+
+    @pytest.mark.slow
 
     def test_vio_smoothing(self):
         """3-keyframe IMU + GPS fusion recovers the trajectory."""

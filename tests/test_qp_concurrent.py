@@ -1,6 +1,7 @@
 """QP/LP active-set solver and concurrent filter/smoother tests."""
 
 import numpy as np
+import pytest
 
 import gtsam_tpu as gt
 from gtsam_tpu.linear.qp import solve_lp, solve_qp
@@ -62,6 +63,7 @@ class TestQP:
 
 
 class TestConcurrent:
+    @pytest.mark.slow
     def test_filter_smoother_handoff(self):
         params = ConcurrentParams(filter_lag=2.5)
         filt = ConcurrentFilter(params)

@@ -5,6 +5,7 @@ synthetic BA convergence."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import gtsam_tpu as gt
 from gtsam_tpu.base import noise as noise_mod
@@ -117,6 +118,7 @@ class TestSchurBA:
 
 
 class TestShardedBA:
+    @pytest.mark.slow
     def test_sharded_matches_single(self):
         prob = synthetic.make_bal_problem(num_cameras=16, num_points=300,
                                           obs_per_point=3, seed=2)
@@ -177,6 +179,8 @@ class TestGraftEntry:
         fn, args = ge.entry()
         out = jax.jit(fn)(*args)
         assert np.isfinite(float(out[2]))
+
+    @pytest.mark.slow
 
     def test_multichip(self):
         import __graft_entry__ as ge

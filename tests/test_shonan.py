@@ -3,6 +3,7 @@ optimality certificate, solution-beats-truth on the noisy objective, and the
 p>3 staircase path."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -30,6 +31,7 @@ def cost(edges, R):
 
 
 class TestShonan:
+    @pytest.mark.slow
     def test_certified_and_optimal(self):
         R_true, edges = make_problem()
         R_est, lam = shonan.shonan_averaging(edges, 15)
@@ -42,6 +44,8 @@ class TestShonan:
         errs = [float(jnp.linalg.norm(so3.logmap(
             jnp.asarray(R_true[i].T @ R_est[i])))) for i in range(15)]
         assert max(errs) < 0.15
+
+    @pytest.mark.slow
 
     def test_noise_free_exact(self):
         R_true, _ = make_problem(n=8, noise=0.0, extra_edges=5)

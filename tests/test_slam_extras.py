@@ -3,6 +3,7 @@ averaging + MFAS, attitude/mag factors, Karcher mean, Unit3."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import gtsam_tpu as gt
 from gtsam_tpu.base.dsf import DSF, DSFMap
@@ -168,6 +169,7 @@ class TestAttitude:
 
 
 class TestLagoAndAux:
+    @pytest.mark.slow
     def test_lago_w100(self):
         from gtsam_tpu.io import datasets
         from gtsam_tpu.slam.initialize import initialize_pose2_lago

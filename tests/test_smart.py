@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import gtsam_tpu as gt
 from gtsam_tpu.geometry import so3
@@ -71,6 +72,8 @@ class TestSmartFactors:
         # check the observed ones
         assert np.abs(est_t[:4] - poses_t[:4]).max() < 0.05
 
+    @pytest.mark.slow
+
     def test_degenerate_track_zeroed(self):
         """A track seen by a single camera (after masking) must not blow up."""
         poses_R, poses_t, lms, keys, uv, mask = make_scene(n_lm=8)
@@ -90,6 +93,7 @@ class TestSmartFactors:
 
 
 class TestSmartStereo:
+    @pytest.mark.slow
     def test_stereo_pose_recovery(self):
         """Recover a perturbed middle pose from structureless stereo tracks
         (SmartStereoProjectionPoseFactor analog)."""
@@ -145,6 +149,8 @@ class TestLinearizationModes:
                 jnp.asarray(poses_R[i] @ dR),
                 jnp.asarray(poses_t[i] + rng.normal(scale=jitter, size=3)))))
         return gt.Values.from_entries(entries)
+
+    @pytest.mark.slow
 
     def test_q_vs_svd_information(self):
         poses_R, poses_t, lms, keys, uv, mask = make_scene(n_lm=8)
@@ -203,6 +209,8 @@ class TestLinearizationModes:
         res = gt.levenberg_marquardt(g, init, gt.LMParams(max_iterations=25))
         est_t = np.asarray(res.values.arrays["SE3"].t)
         assert np.abs(est_t - poses_t).max() < 0.05
+
+    @pytest.mark.slow
 
     def test_implicit_schur_pcg_matches_dense(self):
         """IMPLICIT_SCHUR semantics: PCG's matrix-free matvec on a smart batch

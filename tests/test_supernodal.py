@@ -26,6 +26,7 @@ def _w100_graph(with_prior=True):
 
 
 class TestSupernodalCholesky:
+    @pytest.mark.slow
     def test_matches_dense_solve(self):
         graph, initial = _w100_graph()
         bound = graph.bind(initial)
@@ -67,6 +68,8 @@ class TestSupernodalCholesky:
         _, _, _, ok, badcol = sup.factorize(blocks, 0.0)
         assert bool(ok)
         assert int(badcol) == -1
+
+    @pytest.mark.slow
 
     def test_amd_ordering_parity(self):
         graph, initial = _w100_graph()
