@@ -127,9 +127,15 @@ def _noise_log_constant(noise, rdim: int) -> np.ndarray:
     if noise.kind == "unit" or noise.data is None:
         return np.asarray([base])
     if noise.kind == "constrained":
-        # sigma==0 rows have no finite Gaussian normalization constant.
-        raise NotImplementedError(
-            "hybrid elimination does not support constrained (sigma==0) noise")
+        # sigma==0 rows have no finite Gaussian normalization constant; use
+        # the mu-penalty relaxation (precision mu on hard rows — exactly the
+        # density noise.error() scores, Constrained::squaredMahalanobis
+        # semantics).  Constants of mode-independent constrained factors
+        # cancel across hypotheses in the posterior softmax anyway.
+        data = np.asarray(noise.data)   # inverse sigmas; 0 marks hard rows
+        mu = getattr(noise, "mu", 1e6) or 1e6
+        w = np.where(data == 0.0, np.sqrt(mu), data)
+        return np.sum(np.log(w), axis=-1) + base
     data = np.asarray(noise.data)
     if noise.kind == "diagonal":
         return np.sum(np.log(data), axis=-1) + base
@@ -140,13 +146,23 @@ def _noise_log_constant(noise, rdim: int) -> np.ndarray:
 
 def _dense_rows(batch: factors_mod.FactorBatch, values: Values):
     """Per-row dense (A_i, b_i, logc_i) for a factor batch at `values`."""
+    logc = _noise_log_constant(batch.noise, batch.rdim)  # before relaxation
+    nz = batch.noise
+    if nz is not None and nz.kind == "constrained":
+        # mu-relaxation of the hard rows for the hybrid Gaussian algebra
+        # (matches _noise_log_constant; whiten() would otherwise zero them)
+        import dataclasses as _dc
+        from ..base.noise import NoiseModel as _NM
+        mu = getattr(nz, "mu", 1e6) or 1e6
+        data = jnp.where(jnp.asarray(nz.data) == 0.0, float(np.sqrt(mu)),
+                         jnp.asarray(nz.data))
+        batch = _dc.replace(batch, noise=_NM("diagonal", data, nz.loss))
     xs = tuple(
         values.get_rows(t, values.rows_of(t, batch.keys[:, s]))
         for s, t in enumerate(batch.var_types)
     )
     J, b = factors_mod.linearize(batch, xs)
     A = jnp.concatenate(J, axis=2)  # (N, r, sum dims)
-    logc = _noise_log_constant(batch.noise, batch.rdim)
     if logc.shape[0] == 1:
         logc = np.repeat(logc, batch.num_factors)
     return A, b, logc

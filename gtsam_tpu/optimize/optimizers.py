@@ -520,20 +520,19 @@ def dogleg(graph: FactorGraph, initial: Values,
     """Trust-region dogleg combining GN and steepest-descent steps
     (DoglegOptimizerImpl.h:95 ComputeDoglegPoint)."""
     params = params or DoglegParams()
-    if solver is not None and not isinstance(solver, DenseSolver):
-        raise NotImplementedError("dogleg currently requires the dense solver")
-    bound, error_fn, system_fn, try_step, _solver_obj = _make_step_fns(
-        graph, initial, solver or DenseSolver())
+    bound, error_fn, system_fn, try_step, solver_obj = _make_step_fns(
+        graph, initial, solver)
     if getattr(bound, "num_constraints", 0):
         raise NotImplementedError(
             "dogleg does not support exact constrained noise; use LM/GN")
     layout = initial.layout()
+    sparse_sup = (isinstance(solver_obj, SparseSolver)
+                  and solver_obj._method == "supernodal")
 
-    @jax.jit
-    def dogleg_step(arrays, H, g, delta):
-        dx_gn = _dense_solve(H, g, 0.0, False)
+    def _dogleg_core(arrays, dx_gn, g, Hv, delta):
         # steepest descent: u = g (gradient direction), alpha = g'g / g'Hg
-        gHg = g @ (H @ g)
+        Hg = Hv(g)
+        gHg = g @ Hg
         alpha = jnp.where(gHg > 0, (g @ g) / jnp.maximum(gHg, 1e-300), 0.0)
         dx_u = alpha * g
         n_gn = jnp.linalg.norm(dx_gn)
@@ -556,8 +555,27 @@ def dogleg(graph: FactorGraph, initial: Values,
         new_arrays = retract_arrays(arrays, dx, layout)
         new_error = bound.error(new_arrays)
         # predicted reduction from the linear model: g'dx - 0.5 dx'H dx
-        pred = g @ dx - 0.5 * dx @ (H @ dx)
+        pred = g @ dx - 0.5 * dx @ Hv(dx)
         return dx, new_arrays, new_error, pred
+
+    if sparse_sup:
+        sup = solver_obj._s
+
+        @jax.jit
+        def dogleg_step(arrays, blocks, gpad, delta):
+            factored = sup.factorize(blocks, 0.0, False)
+            dx_gn = sup.solve_factored(factored, gpad)
+            g = sup._flatten(gpad)
+
+            def Hv(x):
+                return sup._flatten(sup.matvec(blocks, sup.pack_rhs(x)))
+
+            return _dogleg_core(arrays, dx_gn, g, Hv, delta)
+    else:
+        @jax.jit
+        def dogleg_step(arrays, H, g, delta):
+            dx_gn = _dense_solve(H, g, 0.0, False)
+            return _dogleg_core(arrays, dx_gn, g, lambda x: H @ x, delta)
 
     arrays = initial.arrays
     error = float(error_fn(arrays))

@@ -353,33 +353,50 @@ def _dense_spd_solve(S, rhs, mixed_precision=False, refine_iters=2):
         L = jnp.linalg.cholesky(Se)
         return jax.scipy.linalg.cho_solve((L, True), rhe) * s
     hi = jnp.float64 if x64 else S.dtype
-    S32 = Se.astype(jnp.float32)
+    # HBM discipline (the whole BA fine step must stay < 15.75G): only S (the
+    # input) is kept in f64; the equilibrated matrix exists ONLY as the f32
+    # factorization operand (the scale+convert fuses, no f64 temp), and the
+    # refinement matvec reads row chunks of S directly via dynamic_slice so
+    # the transient is CH*n*8B, not n^2*8B
+    S32 = (S * s[:, None] * s[None, :]).astype(jnp.float32)
     L32 = jnp.linalg.cholesky(S32)
+    s_hi = s.astype(hi)
 
-    def solve32(r):
-        return jax.scipy.linalg.cho_solve((L32, True),
-                                          r.astype(jnp.float32)).astype(hi)
+    def precond(r):
+        """~S^-1 r via the equilibrated f32 factorization."""
+        r32 = (r * s_hi).astype(jnp.float32)
+        return s_hi * jax.scipy.linalg.cho_solve((L32, True), r32).astype(hi)
 
-    n = Se.shape[0]
+    n = S.shape[0]
     CH = 2048
     nch = -(-n // CH)
-    # f64 residual matvec CHUNKED via lax.map: materializing Se in f64 is
-    # n^2 * 8B (1.9 GB at Ladybug scale) and pushed the whole BA step program
-    # past HBM (measured 22.7 GB needed); a sequential row-chunk map keeps the
-    # f64 temp at CH * n * 8B
-    Se_pad = jnp.pad(Se, ((0, nch * CH - n), (0, 0)))
 
-    def hi_matvec(xv):
-        out = jax.lax.map(
-            lambda c: c.astype(hi) @ xv, Se_pad.reshape(nch, CH, n))
-        return out.reshape(-1)[:n]
+    if n <= CH:
+        def hi_matvec(xv):
+            return S.astype(hi) @ xv
+    else:
+        def hi_matvec(xv):
+            starts = jnp.arange(nch, dtype=jnp.int32) * CH
 
-    rhe_hi = rhe.astype(hi)
-    x = solve32(rhe)
+            def f(i0):
+                rows = jax.lax.dynamic_slice_in_dim(S, i0, CH, axis=0)
+                return rows.astype(hi) @ xv
+
+            out = jax.lax.map(f, starts)                # (nch, CH)
+            res = jnp.zeros(nch * CH, dtype=hi)
+            for k in range(nch):
+                # dynamic_slice clamps the last start to n-CH; writing the
+                # chunk at the same clamped offset re-writes equal values
+                off = min(k * CH, n - CH)
+                res = jax.lax.dynamic_update_slice(res, out[k], (off,))
+            return res[:n]
+
+    rhs_hi = rhs.astype(hi)
+    x = precond(rhs_hi)
     for _ in range(refine_iters):
-        r = rhe_hi - hi_matvec(x)
-        x = x + solve32(r)
-    return (x * s.astype(hi)).astype(S.dtype)
+        r = rhs_hi - hi_matvec(x)
+        x = x + precond(r)
+    return x.astype(S.dtype)
 
 
 def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False,

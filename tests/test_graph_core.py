@@ -167,6 +167,15 @@ class TestOptimize:
         r = gt.dogleg(g, init)
         assert r.error < 1e-18
 
+    def test_dogleg_sparse_matches_dense(self):
+        # dogleg now takes the supernodal sparse solver (was dense-only)
+        from gtsam_tpu.optimize.optimizers import DenseSolver, SparseSolver
+        g, init = self._chain_graph()
+        rd = gt.dogleg(g, init, solver=DenseSolver())
+        rs = gt.dogleg(g, init, solver=SparseSolver())
+        assert rs.error < 1e-15
+        np.testing.assert_allclose(rs.error, rd.error, atol=1e-15)
+
     @pytest.mark.slow
 
     def test_nonlinear_cg_matches_gn(self):
