@@ -8,8 +8,12 @@ cell and accumulates its contiguous run with a fori_loop over VMEM rows —
 no conflicts by construction.  Offsets arrive via scalar prefetch
 (PrefetchScalarGridSpec) so the DMA schedule is known before the body runs.
 
-Enabled on TPU via use_pallas=True call sites; numerics are validated against
-jax.ops.segment_sum in interpret mode on CPU (tests/test_pallas.py).
+Status (kept honest): NOT wired into any production path.  The BA cell stage
+instead uses born-cell-sorted gathers + pow2-padded contiguous bucket reduces
+(sfm/ba.py sym path), which avoid the scatter problem without a custom
+kernel; scripts/ab_pallas_cells.py A/Bs this kernel against that path on the
+real TPU.  Numerics are validated against jax.ops.segment_sum in interpret
+mode on CPU (tests/test_pallas.py).
 """
 
 import jax

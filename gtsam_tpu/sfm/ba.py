@@ -547,11 +547,19 @@ def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False,
     else:
         Hpp_d = Hpp.reshape(M, 9, 9) + lam * jnp.eye(9, dtype=dt)
     Sflat = Sflat.at[diag_idx * M + diag_idx].add(Hpp_d.reshape(M, 81))
-    S = jnp.transpose(Sflat.reshape(M, M, 9, 9), (0, 2, 1, 3)).reshape(
+    # Assemble/solve in the PARAMETER-MAJOR permutation (row index i*M+a
+    # instead of a*9+i): the (0,2,1,3) camera-major transpose materializes an
+    # (M,9,M,9) copy whose 9-wide trailing dim pads 14.3x under TPU (8,128)
+    # tiling — 12.8 GB at Ladybug scale, an HBM OOM.  (2,0,3,1) keeps M last
+    # (~1.8x padding), and a symmetric permutation leaves the Cholesky
+    # identical; only the rhs/solution transpose (M,9)<->(9,M), which is
+    # negligible.
+    S = jnp.transpose(Sflat.reshape(M, M, 9, 9), (2, 0, 3, 1)).reshape(
         9 * M, 9 * M)
 
-    # dense factorize + solve
-    dc = _dense_spd_solve(S, gp_t.reshape(-1), mixed_precision).reshape(M, 9)
+    # dense factorize + solve (parameter-major rhs/solution)
+    rhs_p = gp_t.reshape(M, 9).T.reshape(-1)
+    dc = _dense_spd_solve(S, rhs_p, mixed_precision).reshape(9, M).T
 
     # back-substitute landmarks: dl = C (gl - W^T dc)
     dck = dc[seg_cam]                                            # (K, 9)
