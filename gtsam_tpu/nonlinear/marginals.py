@@ -23,10 +23,12 @@ class Marginals:
         self.layout = values.layout()
         bound = graph.bind(values)
         if sparse:
-            from ..linear.sparse import SparseCholeskySolver
-            self._solver = SparseCholeskySolver(bound)
-            self._factored = None
-            self._g_shape = None
+            # supernodal solver (the production sparse path): batched padded
+            # fronts, auto ordering — replaces the old per-variable level
+            # schedule here (round-2 weak item: large-graph marginals were
+            # inheriting the known-slow path)
+            from ..linear.supernodal import SupernodalCholeskySolver
+            self._solver = SupernodalCholeskySolver(bound)
             blocks, _g = self._solver.system(values.arrays)
             self._factored = self._solver.factorize(blocks, 0.0)
             self._H = None
@@ -49,7 +51,7 @@ class Marginals:
         level-scheduled back-substitution program)."""
         eye_cols = jnp.zeros((len(idx), self.layout.total_dim)
                              ).at[jnp.arange(len(idx)), jnp.asarray(idx)].set(1.0)
-        gp = jax.vmap(self._g_padded)(eye_cols)
+        gp = jax.vmap(self._solver.pack_rhs)(eye_cols)
         xs = jax.vmap(lambda g: self._solver.solve_factored(self._factored, g)
                       )(gp)                         # (n_idx, total_dim)
         return xs
@@ -60,17 +62,6 @@ class Marginals:
             return self._cov[off:off + dim, off:off + dim]
         xs = self._selected_columns(np.arange(off, off + dim))
         return xs[:, off:off + dim].T
-
-    def _g_padded(self, flat_g):
-        """Canonical flat vector -> solver's permuted padded (nvars, d) layout."""
-        s = self._solver
-        g = jnp.zeros((s.nvars, s.d), dtype=flat_g.dtype)
-        for dim in np.unique(s.var_dims):
-            sel = np.where(s.var_dims == dim)[0]
-            offs = s.var_offsets[sel]
-            idx = offs[:, None] + np.arange(dim)[None, :]
-            g = g.at[s.sym.inv_perm[sel], :dim].set(flat_g[idx])
-        return g
 
     def joint_marginal_covariance(self, keys: Sequence) -> jnp.ndarray:
         slices = [self._slice(k) for k in keys]
