@@ -110,23 +110,38 @@ def linearize_raw(batch: FactorBatch, xs, forward_dtype=None,
     dims = batch.dims()
     retracts = tuple(manifolds.get(t).retract for t in batch.var_types)
     hi = forward_dtype if forward_dtype is not None else _hi_dtype()
-    dt = hi if hi is not None else _default_dtype()
     meas = measurements if measurements is not None else batch.measurements
-    if hi is not None:
-        xs = _upcast(xs, hi)
-        meas = _upcast(meas, hi)
+    # Default policy: RESIDUAL forward pass in hi, Jacobian at WORKING
+    # precision (hi jacfwd is ~5-10x on TPU-emulated f64 and measured
+    # unnecessary for pose-graph convergence; BA's fine phase passes
+    # forward_dtype=f64 explicitly because its Schur assembly does need it).
+    j_dt = forward_dtype if forward_dtype is not None else _default_dtype()
+    # cast the Jacobian-pass operands to j_dt EXPLICITLY: under the policy
+    # the caller may hold f64 master state, and f64 xs would silently promote
+    # the whole jacfwd back to (emulated) f64
+    xs_j = _upcast(xs, j_dt)
+    meas_j = _upcast(meas, j_dt)
 
     def res_tangent(deltas, xs_one, meas_one):
         xs_p = tuple(r(x, d) for r, x, d in zip(retracts, xs_one, deltas))
         return batch.residual_fn(xs_p, meas_one)
 
     def one(xs_one, meas_one):
-        zeros = tuple(jnp.zeros(d, dtype=dt) for d in dims)
-        J = jax.jacfwd(res_tangent)(zeros, xs_one, meas_one)
-        r = res_tangent(zeros, xs_one, meas_one)
-        return J, r
+        zeros = tuple(jnp.zeros(d, dtype=j_dt) for d in dims)
+        return jax.jacfwd(res_tangent)(zeros, xs_one, meas_one)
 
-    return jax.vmap(one)(xs, meas)
+    J = jax.vmap(one)(xs_j, meas_j)
+    if hi is not None and forward_dtype is None:
+        r = residuals(batch, xs, measurements=measurements)  # hi residuals
+    else:
+        if hi is not None:
+            xs = _upcast(xs, hi)
+            meas = _upcast(meas, hi)
+
+        def r_one(xs_one, meas_one):
+            return batch.residual_fn(xs_one, meas_one)
+        r = jax.vmap(r_one)(xs, meas)
+    return J, r
 
 
 def linearize(batch: FactorBatch, xs, forward_dtype=None, out_dtype=None,

@@ -642,6 +642,11 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
         # refinement keeps the fused step program comfortably inside HBM
         mp_phase = mixed_precision and pdt != jnp.float32
 
+        # fine phase: Jacobians stay f32 (measured equivalent at convergence;
+        # hi jacfwd is the expensive part of an emulated-f64 linearize), only
+        # the residual forward pass and the downstream Schur assembly are hi
+        fwd_dt = pdt if pdt == dt else None
+
         @jax.jit
         def linearize_fn(cams, pts):
             def one_chunk(args):
@@ -649,8 +654,8 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
                 cam_k = jax.tree.map(lambda a: a[oc], cams)
                 pt_k = pts[op]
                 (A_cam, A_pt), b = factors_mod.linearize(
-                    batch, (cam_k, pt_k), forward_dtype=pdt, out_dtype=pdt,
-                    measurements=m)
+                    batch, (cam_k, pt_k), forward_dtype=fwd_dt,
+                    out_dtype=pdt, measurements=m)
                 return A_cam, A_pt, b
 
             Ac, Ap, b = jax.lax.map(one_chunk,
