@@ -98,18 +98,12 @@ def run_sphere(ref):
     graph.add(gt.prior_factors(
         "SE3", [0], gt.SE3(np.eye(3)[None], np.zeros((1, 3))),
         gt.noise.sigmas([[1e-3] * 3 + [1e-2] * 3])))
-    t0 = time.time()
-    # chordal init on the host CPU backend: it is a one-shot O(n) solve
-    # (0.2 s of compute) that would otherwise pay minutes of TPU XLA compile
-    import contextlib
+    # warm the backend first so chordal_s measures chordal (host scipy +
+    # small transfers, ~1.6 s cold), not TPU tunnel initialization
     import jax
-    try:
-        cpu_dev = jax.devices("cpu")[0]
-        ctx = jax.default_device(cpu_dev)
-    except Exception:
-        ctx = contextlib.nullcontext()
-    with ctx:
-        vals0 = initialize_pose3_chordal(graph)
+    jnp.zeros(8).block_until_ready()
+    t0 = time.time()
+    vals0 = initialize_pose3_chordal(graph)
     chordal_s = time.time() - t0
     graph32 = graph.astype(jnp.float32)
     dev0 = jax.devices()[0]

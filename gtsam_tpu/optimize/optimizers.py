@@ -176,12 +176,12 @@ class SparseSolver:
         self._order = order
         self._method = method
         self._cweight = constraint_weight
-        # f32 compute + f64-refined steps: default ON when the working dtype
-        # is f32 and x64 is live (the TPU speed configuration)
-        if refine_iters is None:
-            refine_iters = 2 if (_default_dtype() == jnp.float32
-                                 and jax.config.jax_enable_x64) else 0
-        self._refine = refine_iters
+        # f64-refined steps are available (solve_refined) but default OFF:
+        # with the hi-precision residual policy the f32 factorization's step
+        # quality already sustains LM accepts (measured on sphere2500), and
+        # each refinement pass costs two extra back-substitutions plus a
+        # block matvec whose segment-sums scatter (slow in emulated f64)
+        self._refine = refine_iters or 0
 
     def bind(self, bound):
         self._orig_bound = bound
