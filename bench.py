@@ -110,46 +110,32 @@ def run_sphere(ref):
     vals32 = vals0.astype(jnp.float32)
     vals32 = vals32.replace_arrays(
         jax.tree.map(lambda a: jax.device_put(a, dev0), vals32.arrays))
-    bound, error_fn, system_fn, try_step, _ = O._make_step_fns(
-        graph32, vals32, None)
-    arrays = vals32.arrays
-    error = float(error_fn(arrays))
-    lam = 1e-5
     refs = ref.get("sphere2500", {})
     target = refs.get("converged_half_chi2", 0) * (1 + 1e-4) or None
-    iter_times, hist = [], [error]
-    t_first = time.time()
-    wall_conv = None
-    acc = 0.0
-    for it in range(1, 31):
-        t0 = time.time()
-        sysm = system_fn(arrays)
-        accepted = False
-        while True:
-            dx, na, ne = try_step(arrays, sysm, lam, False)
-            ne = float(ne)
-            if math.isfinite(ne) and ne < error:
-                arrays, error = na, ne
-                lam = max(lam / 10.0, 1e-10)
-                accepted = True
-                break
-            lam *= 10.0
-            if lam > 1e5:
-                break
-        iter_times.append(time.time() - t0)
-        hist.append(error)
-        if not accepted:
-            break
-        if target and error <= target and wall_conv is None:
-            wall_conv = sum(iter_times[1:]) + (
-                iter_times[1] if len(iter_times) > 1 else iter_times[0])
-            break
-    warm = iter_times[1:] or iter_times
-    per_iter = sum(warm) / len(warm)
+
+    # FUSED on-device LM (one XLA program, zero host round trips): through
+    # the axon tunnel each host-loop iteration pays ~100 ms of dispatch
+    # latency, which dwarfs the 50-70 ms of device compute — the fused loop
+    # is the TPU-native shape of this driver.  error_tol = the reference's
+    # converged chi2 makes the program stop exactly at the target.
+    p = gt.LMParams(max_iterations=30, error_tol=float(target or 0.0),
+                    relative_error_tol=1e-7, absolute_error_tol=1e-9)
+    fused = O.make_fused_lm(graph32, vals32, p)
+    arrays0 = vals32.arrays
+    out = fused(arrays0)            # compile + first run
+    jax.block_until_ready(out[1])
+    t0 = time.time()
+    it, arrays, error, conv, hist = fused(arrays0)
+    jax.block_until_ready(arrays)
+    wall = time.time() - t0
+    it = int(it)
+    error = float(error)
+    wall_conv = wall if (target and error <= target) else None
+    per_iter = wall / max(it, 1)
     ref_iter = refs.get("lm_iter_seconds")
     return dict(s_per_iter=per_iter, wall_to_converged=wall_conv,
                 chordal_s=chordal_s, final_half_chi2=error,
-                iters=len(iter_times),
+                iters=it,
                 vs_baseline_iter=(ref_iter / per_iter) if ref_iter else 1.0,
                 vs_baseline_wall=(refs.get("wall_to_converged_s", 0) /
                                   wall_conv) if wall_conv else 0.0)

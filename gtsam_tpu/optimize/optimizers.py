@@ -357,21 +357,12 @@ def levenberg_marquardt(graph: FactorGraph, initial: Values,
     return OptimizeResult(initial.replace_arrays(arrays), error, it, converged, history)
 
 
-def levenberg_marquardt_fused(graph: FactorGraph, initial: Values,
-                              params: LMParams = None,
-                              solver=None) -> OptimizeResult:
-    """Fully on-device LM: the ENTIRE optimize loop — linearize, lambda
-    search, accept/reject, convergence test — is one jitted program built
-    from `lax.while_loop`s (SURVEY.md §7 hard part (f): keep the lambda
-    search on-device).  One compile, zero host<->device round trips per
-    iteration; semantics match `levenberg_marquardt` (tryLambda policy of
-    LevenbergMarquardtOptimizer.cpp:121-215 with error-decrease acceptance).
+def make_fused_lm(graph: FactorGraph, initial: Values,
+                  params: LMParams = None, solver=None):
+    """Build the fused on-device LM program (see levenberg_marquardt_fused).
 
-    `solver` defaults to auto-selection: dense normal equations (with the
-    exact-constraint KKT block when the graph has sigma==0 rows) for small
-    systems, the supernodal sparse solver for large ones — the whole sparse
-    level schedule is jit-safe, so sphere2500-class pose graphs run the full
-    LM loop as one XLA program."""
+    Returns a jitted `fn(arrays) -> (it, arrays, error, converged, hist)` so
+    callers (benchmarks, serving loops) can separate compile from run."""
     import jax.lax as lax
 
     params = params or LMParams()
@@ -433,7 +424,26 @@ def levenberg_marquardt_fused(graph: FactorGraph, initial: Values,
             outer_cond, outer_body, st)
         return it, arrays, error, conv, hist
 
-    it, arrays, error, conv, hist = jax.jit(lm_outer)(initial.arrays)
+    return jax.jit(lm_outer)
+
+
+def levenberg_marquardt_fused(graph: FactorGraph, initial: Values,
+                              params: LMParams = None,
+                              solver=None) -> OptimizeResult:
+    """Fully on-device LM: the ENTIRE optimize loop — linearize, lambda
+    search, accept/reject, convergence test — is one jitted program built
+    from `lax.while_loop`s (SURVEY.md §7 hard part (f): keep the lambda
+    search on-device).  One compile, zero host<->device round trips per
+    iteration; semantics match `levenberg_marquardt` (tryLambda policy of
+    LevenbergMarquardtOptimizer.cpp:121-215 with error-decrease acceptance).
+
+    `solver` defaults to auto-selection: dense normal equations (with the
+    exact-constraint KKT block when the graph has sigma==0 rows) for small
+    systems, the supernodal sparse solver for large ones — the whole sparse
+    level schedule is jit-safe, so sphere2500-class pose graphs run the full
+    LM loop as one XLA program."""
+    fn = make_fused_lm(graph, initial, params, solver)
+    it, arrays, error, conv, hist = fn(initial.arrays)
     it = int(it)
     hist = np.asarray(hist)
     history = [float(h) for h in hist[:it + 1] if math.isfinite(h)]
