@@ -25,6 +25,7 @@ from .graph.factors import (  # noqa: E402,F401
 from .graph.graph import BoundGraph, FactorGraph  # noqa: E402,F401
 from .graph.values import Values  # noqa: E402,F401
 from .optimize.optimizers import (  # noqa: E402,F401
+    DenseQRSolver,
     DenseSolver,
     DoglegParams,
     LMParams,

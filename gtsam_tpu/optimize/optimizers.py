@@ -125,6 +125,82 @@ class DenseSolver:
         return _dense_solve(H, g, lam, diagonal_damping)
 
 
+class DenseQRSolver:
+    """Dense QR elimination (EliminatePreferQR analog, gtsam/linear/
+    GaussianFactorGraph.cpp + JacobianFactor::eliminate): stack the whitened
+    Jacobian rows, factor [A; sqrt(damping)] = QR, solve R dx = Q'b.
+
+    Rank-revealing: a (near-)zero diagonal of R marks an unconstrained
+    tangent direction; solve() raises IndeterminantLinearSystemError naming
+    the offending column — the splitConditional throw
+    (gtsam/linear/JacobianFactor.cpp:838).  More numerically robust than
+    normal equations (condition kappa vs kappa^2) at ~2x the flops; on TPU
+    the QR itself rides the MXU via jnp.linalg.qr."""
+
+    def bind(self, bound):
+        self._bound = bound
+        if getattr(bound, "num_constraints", 0):
+            raise NotImplementedError(
+                "DenseQRSolver: use DenseSolver (exact KKT) for sigma==0")
+        return self
+
+    def system(self, arrays):
+        A_rows, b_rows = [], []
+        D = self._bound.layout.total_dim
+        from ..graph import factors as factors_mod
+        for b, st in zip(self._bound.graph.batches, self._bound.structures):
+            xs = tuple(
+                jax.tree.map(lambda a: a[st.rows[s]], arrays[t])
+                for s, t in enumerate(b.var_types))
+            wJ, wb = factors_mod.linearize(b, xs)
+            n, r = b.num_factors, b.rdim
+            A = jnp.zeros((n, r, D), dtype=wb.dtype)
+            dims = b.dims()
+            for s in range(b.arity):
+                shp = (n, r, dims[s])
+                cols = np.broadcast_to(
+                    np.asarray(st.col_offsets[s])[:, None, None]
+                    + np.arange(dims[s])[None, None, :], shp)
+                rows_idx = np.broadcast_to(
+                    np.arange(n)[:, None, None], shp)
+                rr = np.broadcast_to(np.arange(r)[None, :, None], shp)
+                A = A.at[rows_idx, rr, cols].add(wJ[s])
+            A_rows.append(A.reshape(n * r, D))
+            b_rows.append(wb.reshape(n * r))
+        return jnp.concatenate(A_rows), jnp.concatenate(b_rows)
+
+    def solve(self, system, lam, diagonal_damping):
+        A, b = system
+        D = A.shape[1]
+        damp = jnp.sqrt(jnp.asarray(lam, dtype=A.dtype))
+        Aaug = jnp.concatenate([A, damp * jnp.eye(D, dtype=A.dtype)])
+        baug = jnp.concatenate([b, jnp.zeros(D, dtype=b.dtype)])
+        Q, R = jnp.linalg.qr(Aaug)
+        rdiag = jnp.abs(jnp.diagonal(R))
+        dx = jax.scipy.linalg.solve_triangular(R, Q.T @ baug, lower=False)
+        # rank-revealing: tiny pivots (undamped) mean an unconstrained gauge
+        # direction — poison the step so the driver's finite-check trips and
+        # check_system() raises with the offending column (f64 roundoff makes
+        # the pivot ~1e-17, not exactly 0, so the solve alone stays finite)
+        bad = jnp.any(rdiag <= 1e-10 * jnp.max(rdiag))
+        return jnp.where(bad, jnp.full_like(dx, jnp.nan), dx)
+
+    def check_system(self, arrays, lam=0.0):
+        """Raise IndeterminantLinearSystemError on rank deficiency."""
+        from ..linear.exceptions import IndeterminantLinearSystemError
+        A, b = self.system(arrays)
+        D = A.shape[1]
+        if A.shape[0] < D:   # wide system: pad so R is square and trailing
+            A = jnp.concatenate(    # pivots expose the missing rank
+                [A, jnp.zeros((D - A.shape[0], D), dtype=A.dtype)])
+        _, R = jnp.linalg.qr(A)
+        rdiag = np.abs(np.asarray(jnp.diagonal(R)))
+        scale = float(rdiag.max()) if rdiag.size else 1.0
+        bad = np.where(rdiag <= 1e-9 * max(scale, 1e-30))[0]
+        if len(bad):
+            raise IndeterminantLinearSystemError(int(bad[0]))
+
+
 def _soften_constraints(bound, weight: float):
     """Bound graph with sigma==0 rows replaced by weight-`weight` soft rows.
 

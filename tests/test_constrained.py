@@ -193,3 +193,38 @@ class TestSparseConstrainedWeighting:
         # the hard constraint is satisfied exactly by the sparse step
         x = np.asarray([0.1 * i for i in range(n)]) + s_delta
         assert abs((x[11] - x[10]) - 2.5) < 1e-12
+
+
+class TestDenseQR:
+    """QR elimination path (EliminatePreferQR analog) + rank-revealing raise
+    (VERDICT r2 item 4: 'a rank-deficient toy graph raises
+    IndeterminantLinearSystemError from the QR path')."""
+
+    def test_qr_matches_cholesky(self):
+        from gtsam_tpu.optimize.optimizers import DenseQRSolver, DenseSolver
+        v = _linear_chain_values(4)
+        g = FactorGraph()
+        g.add(factors_mod.prior_factors(
+            "Vec2", [0], np.array([[1.0, -1.0]]), noise_mod.isotropic(2, 0.3)))
+        g.add(factors_mod.between_factors(
+            "Vec2", [0, 1, 2], [1, 2, 3],
+            np.array([[1.0, 0.5], [0.2, -0.1], [0.0, 2.0]]),
+            noise_mod.isotropic(2, 0.7)))
+        rd = opt.gauss_newton(g, v, solver=DenseSolver())
+        rq = opt.gauss_newton(g, v, solver=DenseQRSolver())
+        np.testing.assert_allclose(rq.error, rd.error, atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(rq.values.arrays["Vec2"]),
+            np.asarray(rd.values.arrays["Vec2"]), atol=1e-8)
+
+    def test_rank_deficient_raises(self):
+        from gtsam_tpu.linear.exceptions import IndeterminantLinearSystemError
+        from gtsam_tpu.optimize.optimizers import DenseQRSolver
+        # between-only chain: global gauge unconstrained -> rank deficient
+        v = _linear_chain_values(3)
+        g = FactorGraph()
+        g.add(factors_mod.between_factors(
+            "Vec2", [0, 1], [1, 2], np.array([[1.0, 0.0], [1.0, 0.0]]),
+            noise_mod.isotropic(2, 1.0)))
+        with pytest.raises(IndeterminantLinearSystemError):
+            opt.gauss_newton(g, v, solver=DenseQRSolver())
