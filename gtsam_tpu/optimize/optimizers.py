@@ -488,7 +488,7 @@ def make_fused_lm(graph: FactorGraph, initial: Values,
                          | (delta <= params.absolute_error_tol)
                          | (delta <= params.relative_error_tol
                             * jnp.maximum(error, 1e-300)))
-            hist = hist.at[it + 1].set(new_error)
+            hist = hist.at[it + 1].set(new_error.astype(hist.dtype))
             return (it + 1, new_arrays, new_error, lam_out,
                     ~accepted | converged, accepted & converged, hist)
 
