@@ -82,6 +82,10 @@ class _SNode:
     u_slots: Optional[np.ndarray]   # (r*(r+1)/2,) Ubuf slots, (a>=b) pair order
     urhs_slots: Optional[np.ndarray]  # (r,) Urhs slots
     frozen: bool = False
+    # lazy caches of the snode's block-slot grids (structure is immutable
+    # after creation, so these are computed once; plan building slices them)
+    blk_diag: Optional[np.ndarray] = None   # (w, w) lower filled
+    blk_panel: Optional[np.ndarray] = None  # (r, w)
 
 
 @dataclasses.dataclass
@@ -184,6 +188,9 @@ class ISAM2Tree:
         self.update_count = 0
         self._jit_cache: Dict[tuple, callable] = {}
         self._marked_relin: set = set()
+        self._asm_dirty: Dict[int, set] = {}   # store idx -> dirty factor rows
+        self.Hres = None    # resident assembled H blocks (B_cap+1, d, d)
+        self.gres = None    # resident gradient (n_cap+1, d)
         # monotone capacity state: every padded capacity that enters a compile
         # signature only ever grows, so the sequence of shape classes is a
         # short monotone chain (O(#caps x log) recompiles per tree lifetime)
@@ -191,6 +198,21 @@ class ISAM2Tree:
         # irregular graphs, cf. reference ISAM2.cpp:116-249 which has no
         # compile step at all)
         self._mono: Dict[str, int] = {}
+
+    def _const_full(self, shape, fill, dtype="int32"):
+        """Cached constant device array (plan padding is rebuilt every
+        update; eager jnp.full dispatch was ~40% of per-update host time)."""
+        key = (shape, int(fill) if dtype != "float64" else float(fill), dtype)
+        cache = getattr(self, "_const_cache", None)
+        if cache is None:
+            cache = self._const_cache = {}
+        out = cache.get(key)
+        if out is None:
+            out = cache[key] = jnp.asarray(
+                np.full(shape, fill,
+                        dtype=np.float64 if dtype == "float64"
+                        else np.int32 if dtype == "int32" else np.bool_))
+        return out
 
     def _mono_cap(self, name: str, need: int) -> int:
         cur = self._mono.get(name, 0)
@@ -322,6 +344,7 @@ class ISAM2Tree:
             st.n += n
         touched = set()
         for fr, row in enumerate(rows):
+            self._asm_dirty.setdefault(si, set()).add(row)
             vs = [int(v) for v in vkeys[fr]]
             for a in vs:
                 self._vid_factors[a].add((si, row))
@@ -486,6 +509,11 @@ class ISAM2Tree:
         for j in range(m):
             self.pos[r_vars[int(sym.perm[j])]] = self._pos_counter
             self._pos_counter += 1
+        # fresh positions invalidate cached assembly targets/flips of every
+        # factor touching a re-eliminated variable
+        for v in r_vars:
+            for (si, row) in self._vid_factors[v]:
+                self._asm_dirty.setdefault(si, set()).add(row)
 
         # tear down removed snodes
         old_pairs = set()
@@ -573,7 +601,7 @@ class ISAM2Tree:
     # -- numeric execution ---------------------------------------------------
 
     def _execute(self, new_sids):
-        H, g = self._assemble()
+        H, g = self._assemble_incremental()
         plans, sig = self._refactor_plans(new_sids)
         refactor = self._refactor_program(sig)
         (self.Lb, self.Ubuf, self.Urhs, self.y) = refactor(
@@ -603,6 +631,11 @@ class ISAM2Tree:
         top_set = set(new_sids)
         live_top = [s for s in new_sids if s in self.snodes]
         if not live_top or not self._last_orphans:
+            return False
+        # only worth attempting when the top is a small fraction of the tree:
+        # otherwise the (capacity-padded) top solve costs as much as the full
+        # backward pass, and a threshold miss would pay BOTH
+        if len(live_top) * 4 > max(len(self.snodes), 4):
             return False
         plans, sig = self._top_backward_plans(live_top)
         backward = self._backward_program(sig)
@@ -646,15 +679,13 @@ class ISAM2Tree:
             row_vars = np.full((S, R), self.n_cap, dtype=np.int32)
             for si, sid in enumerate(sids):
                 s = self.snodes[sid]
-                cols, rows = s.cols, s.rows
-                for a in range(len(cols)):
-                    col_vars[si, a] = cols[a]
-                    for b in range(a + 1):
-                        diag_ids[si, a, b] = self._blk_get(cols[a], cols[b])
-                for a in range(len(rows)):
-                    row_vars[si, a] = rows[a]
-                    for b in range(len(cols)):
-                        panel_ids[si, a, b] = self._blk_get(rows[a], cols[b])
+                bd, bp = self._snode_blocks(s)
+                w, r = len(s.cols), len(s.rows)
+                col_vars[si, :w] = s.cols
+                row_vars[si, :r] = s.rows
+                ii, jj = np.tril_indices(w)
+                diag_ids[si, ii, jj] = bd[ii, jj]
+                panel_ids[si, :r, :w] = bp
             plans.append(dict(
                 diag_ids=jnp.asarray(diag_ids),
                 panel_ids=jnp.asarray(panel_ids),
@@ -663,39 +694,241 @@ class ISAM2Tree:
             ))
         while len(plans) < nlev_cap:
             plans.append(dict(
-                diag_ids=jnp.full((S_u, W_u, W_u), self.B_cap,
-                                  dtype=jnp.int32),
-                panel_ids=jnp.full((S_u, R_u, W_u), self.B_cap,
-                                   dtype=jnp.int32),
-                col_vars=jnp.full((S_u, W_u), self.n_cap, dtype=jnp.int32),
-                row_vars=jnp.full((S_u, R_u), self.n_cap, dtype=jnp.int32),
+                diag_ids=self._const_full((S_u, W_u, W_u), self.B_cap),
+                panel_ids=self._const_full((S_u, R_u, W_u), self.B_cap),
+                col_vars=self._const_full((S_u, W_u), self.n_cap),
+                row_vars=self._const_full((S_u, R_u), self.n_cap),
             ))
         return plans, (nlev_cap, S_u, W_u, R_u)
 
+    # .. incremental assembly: resident H/g, zone rebuild ....................
+
+    def _assemble_incremental(self):
+        """O(affected) assembly: keep H blocks and the gradient RESIDENT on
+        device; per update, re-linearize only the ZONE (all factors touching
+        a variable of any dirty factor), zero exactly the H slots / g rows the
+        zone owns, and scatter-add the fresh contributions.
+
+        Consistency: every contributor to a zone pair-slot is itself a zone
+        factor (a pair touching var v with v re-eliminated has all of v's
+        factors in the zone), and zone contributions to g are masked to the
+        zone's variable set, so nothing outside the zone is double-counted.
+        The reference relinearizes exactly the affected cliques' factors
+        (ISAM2.cpp relinearizeAffectedFactors); this is its batched-scatter
+        form."""
+        d = self.d
+        dt = _default_dtype()
+        dirty = self._asm_dirty
+        total = sum(st.n for st in self.stores)
+        nd = sum(len(r) for r in dirty.values())
+        shape_ok = (
+            self.Hres is not None
+            and self.Hres.shape == (self.B_cap + 1, d, d)
+            and self.gres is not None
+            and self.gres.shape == (self.n_cap + 1, d))
+        if not shape_ok or nd * 3 > max(total, 1):
+            H, g = self._assemble()    # full rebuild (consumes _asm_dirty)
+            self.Hres, self.gres = H, g
+            return H, g
+        self._asm_dirty = {}
+        for si, rows in dirty.items():
+            st = self.stores[si]
+            if getattr(st, "_asm", None) is not None \
+                    and st._asm["cap"] == st.cap:
+                self._asm_rows_for(st, sorted(r for r in rows
+                                              if r < st.cap))
+        # zone = factors of the dirty rows' variables
+        vset = set()
+        for si, rows in dirty.items():
+            st = self.stores[si]
+            for row in rows:
+                if row < st.n:
+                    vset.update(int(v) for v in st.keys[row])
+        zone: Dict[int, set] = {}
+        for v in vset:
+            for (si, row) in self._vid_factors[v]:
+                zone.setdefault(si, set()).add(row)
+
+        zero_slots = set()
+        store_args = []
+        sig_stores = []
+        for si, st in enumerate(self.stores):
+            if getattr(st, "_asm", None) is None or st._asm["cap"] != st.cap:
+                arity = st.keys.shape[1]
+                st._asm = {
+                    "cap": st.cap,
+                    "tg": {(s1, s2): np.zeros(st.cap, dtype=np.int64)
+                           for s1 in range(arity)
+                           for s2 in range(s1, arity)},
+                    "flip": {(s1, s2): np.zeros(st.cap, dtype=bool)
+                             for s1 in range(arity)
+                             for s2 in range(s1, arity)},
+                }
+                self._asm_rows_for(st, range(st.cap))
+            rows = sorted(zone.get(si, ()))
+            arity = st.keys.shape[1]
+            Zc = self._mono_cap(f"az{si}", _pow2(max(len(rows), 1), 8))
+            zidx = np.zeros(Zc, dtype=np.int32)
+            zidx[:len(rows)] = rows
+            vrows = []
+            gvars = []
+            for s in range(arity):
+                vr = np.zeros(Zc, dtype=np.int32)
+                vr[:len(rows)] = [self.var_row[int(st.keys[r, s])]
+                                  for r in rows]
+                vrows.append(jnp.asarray(vr))
+                gv = np.full(Zc, self.n_cap + 1, dtype=np.int64)
+                for k, r in enumerate(rows):
+                    v = int(st.keys[r, s])
+                    gv[k] = v if v in vset else self.n_cap + 1
+                gvars.append(jnp.asarray(gv, dtype=jnp.int32))
+            tgs, flips = [], []
+            for s1 in range(arity):
+                for s2 in range(s1, arity):
+                    tg = np.full(Zc, self.B_cap + 1, dtype=np.int64)
+                    fl = np.zeros(Zc, dtype=bool)
+                    tg[:len(rows)] = st._asm["tg"][(s1, s2)][rows]
+                    fl[:len(rows)] = st._asm["flip"][(s1, s2)][rows]
+                    zero_slots.update(int(x) for x in tg[:len(rows)])
+                    # dirty-but-not-zone rows (deactivated factors): their
+                    # old contribution must still be cleared
+                    for r in dirty.get(si, ()):
+                        if r < st.cap and r not in zone.get(si, ()):
+                            zero_slots.add(int(st._asm["tg"][(s1, s2)][r]))
+                    tgs.append(jnp.asarray(tg, dtype=jnp.int32))
+                    flips.append(jnp.asarray(fl))
+            store_args.append((st.meas, st.R, jnp.asarray(zidx),
+                               tuple(vrows), tuple(gvars), tuple(tgs),
+                               tuple(flips)))
+            sig_stores.append((st.batch.residual_fn, st.batch.var_types,
+                               st.batch.rdim, st.cap, Zc))
+
+        zs = np.fromiter(zero_slots, dtype=np.int64, count=len(zero_slots))
+        Zs = self._mono_cap("azslots", _pow2(max(len(zs), 1), 64))
+        zs_pad = np.full(Zs, self.B_cap + 1, dtype=np.int64)
+        zs_pad[:len(zs)] = zs
+        vz = np.fromiter(vset, dtype=np.int64, count=len(vset))
+        Vz = self._mono_cap("azvars", _pow2(max(len(vz), 1), 64))
+        vz_pad = np.full(Vz, self.n_cap + 1, dtype=np.int64)
+        vz_pad[:len(vz)] = vz
+
+        prog = self._asm_incr_program(tuple(sig_stores), Zs, Vz)
+        H, g = prog(self.var_arrays, store_args,
+                    jnp.asarray(zs_pad, dtype=jnp.int32),
+                    jnp.asarray(vz_pad, dtype=jnp.int32),
+                    self.Hres, self.gres)
+        self.Hres, self.gres = H, g
+        return H, g
+
+    def _asm_incr_program(self, sig_stores, Zs, Vz):
+        key = ("asm_incr", sig_stores, Zs, Vz, self.B_cap, self.n_cap,
+               self.d, tuple(sorted(self.type_cap.items())))
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        self._evict_jit()
+        metas = [(st.batch, st.batch.var_types) for st in self.stores]
+        d = self.d
+
+        @jax.jit
+        def incr(var_arrays, store_args, zero_slots, zero_vars, H, g):
+            dt = _default_dtype()
+            H = H.at[zero_slots].set(0.0, mode="drop")
+            g = g.at[zero_vars].set(0.0, mode="drop")
+            for (batch, types), (meas, R, zidx, vrows, gvars, tgs, flips) \
+                    in zip(metas, store_args):
+                meas_z = jax.tree.map(lambda a: a[zidx], meas)
+                R_z = R[zidx]
+                xs = tuple(jax.tree.map(lambda a: a[vrows[s]],
+                                        var_arrays[t])
+                           for s, t in enumerate(types))
+                dims = batch.dims()
+                retracts = tuple(manifolds.get(t).retract for t in types)
+
+                def res_tangent(deltas, xs_one, meas_one):
+                    xs_p = tuple(r(x, dd) for r, x, dd in
+                                 zip(retracts, xs_one, deltas))
+                    return batch.residual_fn(xs_p, meas_one)
+
+                def one(xs_one, meas_one):
+                    zeros = tuple(jnp.zeros(dd, dtype=dt) for dd in dims)
+                    J = jax.jacfwd(res_tangent)(zeros, xs_one, meas_one)
+                    r = res_tangent(zeros, xs_one, meas_one)
+                    return J, r
+
+                J, r = jax.vmap(one)(xs, meas_z)
+                wJ = tuple(jnp.einsum("nij,njd->nid", R_z, Ji) for Ji in J)
+                b = -jnp.einsum("nij,nj->ni", R_z, r)
+                pi = 0
+                for s1 in range(len(types)):
+                    gi = jnp.einsum("nrd,nr->nd", wJ[s1], b)
+                    gi = jnp.pad(gi, ((0, 0), (0, d - dims[s1])))
+                    g = g.at[gvars[s1]].add(gi, mode="drop")
+                    for s2 in range(s1, len(types)):
+                        Hij = jnp.einsum("nri,nrj->nij", wJ[s1], wJ[s2])
+                        Hij = jnp.pad(Hij, ((0, 0), (0, d - dims[s1]),
+                                            (0, d - dims[s2])))
+                        Hij = jnp.where(flips[pi][:, None, None],
+                                        jnp.swapaxes(Hij, 1, 2), Hij)
+                        H = H.at[tgs[pi]].add(Hij, mode="drop")
+                        pi += 1
+            return H, g
+
+        self._jit_cache[key] = incr
+        return incr
+
     # .. full assembly (H blocks + gradient), every update ..................
+
+    def _asm_rows_for(self, st, rows):
+        """(Re)compute cached assembly targets/flips for `rows` of store st.
+
+        blk_get is idempotent slot allocation, so recomputation after a
+        position change is safe regardless of refactor-plan order."""
+        arity = st.keys.shape[1]
+        cache = st._asm
+        for s1 in range(arity):
+            for s2 in range(s1, arity):
+                tg = cache["tg"][(s1, s2)]
+                fl = cache["flip"][(s1, s2)]
+                for row in rows:
+                    a = int(st.keys[row, s1])
+                    b = int(st.keys[row, s2])
+                    tg[row] = self._blk_get(a, b)
+                    fl[row] = self.pos[a] < self.pos[b]
 
     def _assemble(self):
         dt = _default_dtype()
         d = self.d
-        # host: contribution target lists (rebuilt per update; vectorized)
+        # host: contribution target lists — CACHED per store; only rows whose
+        # variables were re-eliminated this update (fresh positions / fresh
+        # block slots) are recomputed (the full per-factor python rebuild was
+        # ~60 ms/update at sphere2500 scale)
         asm_t, g_t = [], []
         metas = []
-        for st in self.stores:
+        dirty = getattr(self, "_asm_dirty", {})
+        for si, st in enumerate(self.stores):
             arity = st.keys.shape[1]
-            pos = self.pos[st.keys]          # (cap, arity)
+            cache = getattr(st, "_asm", None)
+            if cache is None or cache["cap"] != st.cap:
+                st._asm = cache = {
+                    "cap": st.cap,
+                    "tg": {(s1, s2): np.zeros(st.cap, dtype=np.int64)
+                           for s1 in range(arity)
+                           for s2 in range(s1, arity)},
+                    "flip": {(s1, s2): np.zeros(st.cap, dtype=bool)
+                             for s1 in range(arity)
+                             for s2 in range(s1, arity)},
+                }
+                self._asm_rows_for(st, range(st.cap))
+            elif si in dirty:
+                self._asm_rows_for(st, sorted(dirty[si]))
             for s1 in range(arity):
                 g_t.append(st.keys[:, s1].astype(np.int64))
                 for s2 in range(s1, arity):
-                    a = st.keys[:, s1]
-                    b = st.keys[:, s2]
-                    flip = pos[:, s1] < pos[:, s2]
                     # stored block = (later, earlier); we emit value H_{s1 s2}
                     # and transpose when s1 is eliminated first
-                    tg = np.asarray(
-                        [self._blk_get(int(x), int(y))
-                         for x, y in zip(a, b)], dtype=np.int64)
-                    asm_t.append(tg)
-                    metas.append((flip,))
+                    asm_t.append(cache["tg"][(s1, s2)])
+                    metas.append((cache["flip"][(s1, s2)],))
+        self._asm_dirty = {}
         asm_t_flat = (np.concatenate(asm_t) if asm_t
                       else np.zeros(0, dtype=np.int64))
         order = np.argsort(asm_t_flat, kind="stable").astype(np.int32)
@@ -924,7 +1157,7 @@ class ISAM2Tree:
         # pad the level list to a MONOTONE pow2 count with no-op dummy levels
         # so the refactor program signature stays stable across updates
         nlev_cap = self._mono_cap("rf_nlev", _pow2(max(len(plans), 1), 1))
-        zero = lambda cap, sent: jnp.full((cap,), sent, dtype=jnp.int32)
+        zero = lambda cap, sent: self._const_full((cap,), sent)
         while len(plans) < nlev_cap:
             plans.append(dict(
                 a_pos=zero(A, S * F * W),
@@ -939,9 +1172,9 @@ class ISAM2Tree:
                 yro_dst=zero(YR, self.UR_cap + 1),
                 lo_src=zero(L, 0),
                 lo_dst=zero(L, self.B_cap + 1),
-                col_vars=jnp.full((S, W), self.n_cap, dtype=jnp.int32),
-                pad_cols=jnp.ones((S, F * self.d)),
-                valid_piv=jnp.zeros((S, W * self.d), dtype=bool),
+                col_vars=self._const_full((S, W), self.n_cap),
+                pad_cols=self._const_full((S, F * self.d), 1, "float64"),
+                valid_piv=self._const_full((S, W * self.d), 0, "bool"),
             ))
             sig.append((S, W, R, E, ER, A, L, Uo, YR))
         return plans, tuple(sig)
@@ -1082,16 +1315,13 @@ class ISAM2Tree:
             row_vars = np.full((S, R), self.n_cap, dtype=np.int32)
             for si, sid in enumerate(sids):
                 s = self.snodes[sid]
-                cols, rows = s.cols, s.rows
-                w, r = len(cols), len(rows)
-                for a in range(w):
-                    col_vars[si, a] = cols[a]
-                    for b in range(a + 1):
-                        diag_ids[si, a, b] = self._blk_get(cols[a], cols[b])
-                for a in range(r):
-                    row_vars[si, a] = rows[a]
-                    for b in range(w):
-                        panel_ids[si, a, b] = self._blk_get(rows[a], cols[b])
+                bd, bp = self._snode_blocks(s)
+                w, r = len(s.cols), len(s.rows)
+                col_vars[si, :w] = s.cols
+                row_vars[si, :r] = s.rows
+                ii, jj = np.tril_indices(w)
+                diag_ids[si, ii, jj] = bd[ii, jj]
+                panel_ids[si, :r, :w] = bp
             plans.append(dict(
                 diag_ids=jnp.asarray(diag_ids),
                 panel_ids=jnp.asarray(panel_ids),
@@ -1100,12 +1330,10 @@ class ISAM2Tree:
             ))
         while len(plans) < nlev_cap:   # no-op dummy levels
             plans.append(dict(
-                diag_ids=jnp.full((S_u, W_u, W_u), self.B_cap,
-                                  dtype=jnp.int32),
-                panel_ids=jnp.full((S_u, R_u, W_u), self.B_cap,
-                                   dtype=jnp.int32),
-                col_vars=jnp.full((S_u, W_u), self.n_cap, dtype=jnp.int32),
-                row_vars=jnp.full((S_u, R_u), self.n_cap, dtype=jnp.int32),
+                diag_ids=self._const_full((S_u, W_u, W_u), self.B_cap),
+                panel_ids=self._const_full((S_u, R_u, W_u), self.B_cap),
+                col_vars=self._const_full((S_u, W_u), self.n_cap),
+                row_vars=self._const_full((S_u, R_u), self.n_cap),
             ))
         sig = (nlev_cap, S_u, W_u, R_u)
         return plans, sig
@@ -1147,7 +1375,23 @@ class ISAM2Tree:
         self._jit_cache[key] = backward
         return backward
 
-    def _evict_jit(self, cap: int = 64):
+    def _snode_blocks(self, s):
+        """Cached (w,w) lower diag-slot grid + (r,w) panel-slot grid."""
+        if s.blk_diag is None:
+            cols, rows = s.cols, s.rows
+            w, r = len(cols), len(rows)
+            bd = np.zeros((w, w), dtype=np.int32)
+            for a in range(w):
+                for b in range(a + 1):
+                    bd[a, b] = self._blk_get(cols[a], cols[b])
+            bp = np.zeros((r, w), dtype=np.int32)
+            for a in range(r):
+                for b in range(w):
+                    bp[a, b] = self._blk_get(rows[a], cols[b])
+            s.blk_diag, s.blk_panel = bd, bp
+        return s.blk_diag, s.blk_panel
+
+    def _evict_jit(self, cap: int = 512):
         """Bound compiled-program memory (old capacity signatures die)."""
         while len(self._jit_cache) >= cap:
             oldest = next(iter(self._jit_cache))
@@ -1181,6 +1425,7 @@ class ISAM2Tree:
                     st = self.stores[si]
                     st.R = st.R.at[row].set(
                         jnp.zeros_like(st.R[row]))
+                    self._asm_dirty.setdefault(si, set()).add(row)
                     for w in st.keys[row]:
                         self._vid_factors[int(w)].discard((si, row))
             s.frozen = True
