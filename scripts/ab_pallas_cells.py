@@ -36,9 +36,12 @@ def main():
     # run boundaries for the pallas kernel (cells are sorted by construction)
     # rebuild seg ids from the bucket plan: bucket k covers rows [p0, p0+n*Pw)
     # with each run padded to Pw; instead use the unpadded sorted cell ids
-    cells_sorted = np.repeat(np.arange(U), np.diff(
-        segment_offsets_from_ids_from_buckets(st)))
-    offsets = segment_offsets_from_ids(cells_sorted, U)
+    # bucket plan is in sym_cells (crun) order; the raw product rows are in
+    # ascending-cell order — build the pallas offsets in ascending order and
+    # remember the permutation to compare outputs
+    lens = segment_offsets_from_ids_from_buckets(st)[:U]
+    asc = np.argsort(np.asarray(st.sym_cells))
+    offsets = np.concatenate([[0], np.cumsum(lens[asc])]).astype(np.int32)
 
     f_pallas = jax.jit(lambda p: segmented_block_sum(
         p, jnp.asarray(offsets), U))
@@ -65,8 +68,8 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"{name:>20}: FAILED ({type(e).__name__}: {e})", flush=True)
 
-    # numerics cross-check
-    a = np.asarray(f_bucket(prods))
+    # numerics cross-check (bucket output reordered to ascending cells)
+    a = np.asarray(f_bucket(prods))[asc]
     try:
         b = np.asarray(f_pallas(prods))
         print("max |diff| =", float(np.abs(a - b).max()), flush=True)
@@ -75,7 +78,8 @@ def main():
 
 
 def segment_offsets_from_ids_from_buckets(st):
-    """Per-cell true run lengths from the pow2-padded bucket plan."""
+    """Per-cell true run lengths from the pow2-padded bucket plan (bucket
+    padding may append ghost runs past the true cell count)."""
     P = len(st.sym_groups[0])
     lens = []
     sent = P
