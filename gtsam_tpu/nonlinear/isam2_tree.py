@@ -1052,6 +1052,11 @@ class ISAM2Tree:
             col_vars = np.full((S, W), self.n_cap, dtype=np.int32)
             lo_src, lo_dst = [], []
             pad_cols = np.zeros((S, F * d), dtype=np.float64)
+            # padded SUPERNODE rows (si >= len(sids)) must get full identity
+            # fronts, or their all-zero Cholesky is NaN and the sentinel-row
+            # scatter leaks it into real lanes through the shared backward
+            # solve (hit with mixed-dim graphs where S_u > len(sids))
+            pad_cols[len(sids):, :] = 1.0
             valid_piv = np.zeros((S, W * d), dtype=bool)
             for si, sid in enumerate(sids):
                 s = self.snodes[sid]

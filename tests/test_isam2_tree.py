@@ -189,3 +189,26 @@ def test_wildfire_partial_backsub():
     # and the wildfire run really took the partial path at least once
     n_partial = getattr(wild, "_wf_hits", 0)
     assert n_partial > 0
+
+
+def test_mixed_types_with_padded_supernodes():
+    """SE2 poses + Point2 landmarks with range factors: exercises padded
+    SUPERNODE rows (S_u > live count), whose all-zero fronts used to produce
+    NaN Cholesky leaking through the sentinel y row (round-3 regression)."""
+    from gtsam_tpu.sam.factors import range_2d_factors
+    isam = ISAM2Tree(wildfire_threshold=0.0)
+    isam.update(
+        [_se2_prior(0, [0.0, 0.0, 0.0]),
+         gt.prior_factors("Point2", [100], np.asarray([[3.0, 4.1]]),
+                          gt.noise.isotropic(2, 10.0))],
+        [(0, "SE2", np.zeros(3)), (100, "Point2", np.asarray([3.0, 4.1]))])
+    isam.update([range_2d_factors([0], [100], np.asarray([5.0]),
+                                  gt.noise.isotropic(1, 0.3))])
+    assert np.isfinite(isam.delta_host[:isam.nvar]).all()
+    for k in range(1, 5):
+        isam.update(
+            [_se2_between(k - 1, k, [1.0, 0.0, 0.0]),
+             range_2d_factors([k], [100], np.asarray([5.0 - k]),
+                              gt.noise.isotropic(1, 0.3))],
+            [(k, "SE2", np.asarray([float(k), 0.0, 0.0]))])
+        assert np.isfinite(isam.delta_host[:isam.nvar]).all()
