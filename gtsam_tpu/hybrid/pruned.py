@@ -39,6 +39,13 @@ class PrunedHybridSmoother:
         self._keys: List[int] = []
         self._cards: List[int] = []
         self._contrib_cache: Dict[int, tuple] = {}
+        # per-hypothesis prefix message: assignment-tuple ->
+        # (sep spans [(key, dim)], H, g, c, eliminated-key set).  The prefix
+        # evidence chain log p(z_1:t | M) is advanced one slice at a time by
+        # Schur-complementing out variables that left the interface — per
+        # update cost is O(K * (sep+slice)^3), not O(K * D^3) over the whole
+        # trajectory (the round-2 advisor finding).
+        self._msgs: Dict[tuple, tuple] = {}
 
     def _candidates(self, new_keys: List[int], new_cards: List[int]):
         """Surviving assignments x new mode keys."""
@@ -77,12 +84,22 @@ class PrunedHybridSmoother:
         self._keys += new_keys
         self._cards += new_cards
 
-        if not self._keys:       # no modes yet: nothing to hypothesize over
+        if not self._keys:       # no modes yet: absorb into the root message
+            self._root_slice(hfg_slice, values)
             return {}
+        prev_keys = [k for k in self._keys if k not in new_keys]
         cands = self._candidates(new_keys, new_cards)
         lps = np.empty(len(cands))
+        new_msgs: Dict[tuple, tuple] = {}
         for i, a in enumerate(cands):
-            lps[i] = self._evidence(a, values)
+            pkey = tuple(sorted((k, a[k]) for k in prev_keys))
+            msg = self._msgs.get(pkey, self._empty_msg())
+            lp, msg_out, ok = self._advance(msg, hfg_slice, a, values)
+            if not ok:       # slice touched an already-eliminated variable
+                lp = self._evidence(a, values)
+                msg_out = None
+            lps[i] = lp
+            new_msgs[tuple(sorted(a.items()))] = msg_out
 
         p = np.exp(lps - lps.max())
         p /= p.sum()
@@ -91,7 +108,113 @@ class PrunedHybridSmoother:
         tf = TableFactor.from_entries(tuple(self._keys), tuple(self._cards),
                                       rows, p)
         self.modes = tf.prune(max_entries=self.max_hypotheses).normalized()
+        # keep messages only for the survivors
+        surv = self.modes.decode(self.modes.codes)
+        self._msgs = {}
+        for r in surv:
+            k = tuple(sorted(zip(self.modes.keys, (int(x) for x in r))))
+            if new_msgs.get(k) is not None:
+                self._msgs[k] = new_msgs[k]
         return self.mpe()
+
+    # -- incremental prefix-evidence machinery -------------------------------
+
+    def _empty_msg(self):
+        return ([], np.zeros((0, 0)), np.zeros(0), 0.0, set())
+
+    def _root_slice(self, hfg_slice, values):
+        """Mode-free slice before any discrete key exists: fold it into the
+        (single) root message shared by all future hypotheses."""
+        msg = self._msgs.get((), self._empty_msg())
+        _, msg_out, ok = self._advance(msg, hfg_slice, {}, values)
+        if ok and msg_out is not None:
+            self._msgs[()] = msg_out
+
+    def _advance(self, msg, hfg_slice, a, values):
+        """(lp, new_msg, ok): advance one hypothesis's prefix message over
+        the slice chosen by assignment `a`.  Exact (Gaussian evidence chain
+        factorization); ok=False when the slice references a variable already
+        Schur-eliminated from the interface (caller falls back to the full
+        assembly)."""
+        sep, Hm, gm, cm, elim = msg
+        batches = list(hfg_slice.continuous)
+        for m in hfg_slice.mixtures:
+            batches.append(m.components[a[m.discrete_key]])
+        contribs = [self._batch_contrib(b, values) for b in batches]
+        kdims: Dict[int, int] = {}
+        for spans, *_ in contribs:
+            for k, _, dd in spans:
+                kdims[k] = dd
+        if any(k in elim for k in kdims):
+            return 0.0, None, False
+        slice_vars = set(kdims)
+        for k, dd in sep:
+            kdims.setdefault(k, dd)
+        keys = sorted(kdims)
+        offs: Dict[int, int] = {}
+        pos = 0
+        for k in keys:
+            offs[k] = pos
+            pos += kdims[k]
+        D = pos
+        H = np.zeros((D, D))
+        gv = np.zeros(D)
+        c = cm
+        # prefix message
+        if sep:
+            sel = np.concatenate([np.arange(offs[k], offs[k] + dd)
+                                  for k, dd in sep])
+            H[np.ix_(sel, sel)] += Hm
+            gv[sel] += gm
+        for spans, Hb, gb, err, lc in contribs:
+            sel = np.empty(Hb.shape[0], dtype=np.int64)
+            for k, o, dd in spans:
+                sel[o:o + dd] = np.arange(offs[k], offs[k] + dd)
+            H[np.ix_(sel, sel)] += Hb
+            gv[sel] += gb
+            c += lc - err
+        for f in hfg_slice.discrete:
+            if all(k in a for k in f.keys):
+                c += math.log(max(f.value(a), 1e-300))
+        # eliminate interface vars the slice no longer references
+        keep = [k for k in keys if k in slice_vars]
+        drop = [k for k in keys if k not in slice_vars]
+        if drop:
+            di = np.concatenate([np.arange(offs[k], offs[k] + kdims[k])
+                                 for k in drop])
+            ki = np.concatenate([np.arange(offs[k], offs[k] + kdims[k])
+                                 for k in keep]) if keep else \
+                np.zeros(0, dtype=np.int64)
+            Hee = H[np.ix_(di, di)]
+            sign, ld = np.linalg.slogdet(Hee)
+            if sign <= 0:
+                return 0.0, None, False
+            Hee_inv_ge = np.linalg.solve(Hee, gv[di])
+            c += (0.5 * len(di) * math.log(2 * math.pi) - 0.5 * ld
+                  + 0.5 * float(gv[di] @ Hee_inv_ge))
+            if len(ki):
+                Hke = H[np.ix_(ki, di)]
+                Hn = H[np.ix_(ki, ki)] - Hke @ np.linalg.solve(Hee, Hke.T)
+                gn = gv[ki] - Hke @ Hee_inv_ge
+            else:
+                Hn = np.zeros((0, 0))
+                gn = np.zeros(0)
+        else:
+            ki = np.arange(D)
+            Hn = H
+            gn = gv
+        # evidence of the whole prefix (integrate the remaining interface)
+        if Hn.shape[0]:
+            sign, ld = np.linalg.slogdet(Hn)
+            if sign <= 0:
+                return 0.0, None, False
+            lp = (c + 0.5 * Hn.shape[0] * math.log(2 * math.pi) - 0.5 * ld
+                  + 0.5 * float(gn @ np.linalg.solve(Hn, gn)))
+        else:
+            lp = c
+        new_sep = [(k, kdims[k]) for k in keep]
+        new_elim = set(elim) | set(drop)
+        return lp, (new_sep, Hn, gn, c, new_elim), True
 
     def _batch_contrib(self, batch, values: Values):
         """Dense (keys, H, g, err, logc) of ONE batch at the shared

@@ -75,3 +75,14 @@ def test_small_chain_matches_dense_smoother():
         assert mpe[100 + i] == expect
     p = sm.posterior()
     assert p.vals.max() > 0.5
+
+
+def test_incremental_messages_stay_bounded():
+    """The prefix-evidence messages Schur-eliminate variables that leave the
+    interface, so per-hypothesis state (and per-update cost) is O(slice),
+    not O(trajectory) — the round-2 advisor finding."""
+    sm, _ = _slip_chain_smoother(40, max_hyp=6)
+    assert sm._msgs   # survivors carry messages
+    for (sep, H, g, c, elim) in sm._msgs.values():
+        assert H.shape[0] <= 2          # interface: the two slice variables
+        assert len(elim) >= 38          # the rest has been integrated out
