@@ -39,45 +39,37 @@ def run_ba(ref):
         M, N, OPP = 1723, 150000, 4
     prob = synthetic.make_bal_problem(num_cameras=M, num_points=N,
                                       obs_per_point=OPP, seed=0)
-    lm = gt.LMParams(max_iterations=20, relative_error_tol=1e-6)
-    t0 = time.time()
-    _vals, info = ba.ba_optimize(prob, lm, dtype=jnp.float32,
-                                 mixed_precision=True)
-    total_s = time.time() - t0
-
-    # warm per-iteration cost PER PHASE: each phase's first iteration pays
-    # its XLA compile (one-time-ever with the persistent cache), so charge
-    # every iteration at its phase's median-of-the-rest; everything above
-    # that is compile and goes into cold_s
-    times = info["iter_times"]
-    phases = info.get("phases", ["?"] * len(times))
-    warm_of = {}
-    for ph in set(phases):
-        ts = sorted(t for t, p in zip(times, phases) if p == ph)
-        ts_warm = ts[:-1] if len(ts) > 2 else ts   # drop the compile outlier
-        warm_of[ph] = ts_warm[len(ts_warm) // 2] if ts_warm else 0.0
-    warm_times = [warm_of[p] for p in phases]
-    per_iter = sum(warm_times) / max(len(warm_times), 1)
-    cold_s = total_s - sum(warm_times)
-
     target = None
     refba = ref.get("bal_ladybug", {})
     if refba.get("converged_half_chi2"):
         target = refba["converged_half_chi2"] * (1 + 1e-4)
-    wall_conv = None
-    if target is not None:
-        acc = 0.0
-        for it, err in enumerate(info["history"][1:], start=1):
-            acc += warm_times[it - 1] if it - 1 < len(warm_times) else per_iter
-            if err <= target:
-                wall_conv = acc
-                break
+    lm = gt.LMParams(max_iterations=20, relative_error_tol=1e-6)
+
+    # value = TRUE STOPWATCH: wall clock from optimizer start (everything
+    # after dataset synthesis — symbolic structure build, H2D, program
+    # loads/compiles from the warm persistent cache, and the LM iterations)
+    # to half-chi2 <= the reference's converged value.  No warm-median
+    # accounting (round-3 verdict item 1).
+    t0 = time.time()
+    _vals, info = ba.ba_optimize(prob, lm, dtype=jnp.float32,
+                                 mixed_precision=True, target_error=target)
+    total_s = time.time() - t0
+
+    times = info["iter_times"]
+    phases = info.get("phases", ["?"] * len(times))
+    # diagnostics only: warm per-iter = median of the non-first iters
+    warm = sorted(times[1:]) or times
+    per_iter = warm[len(warm) // 2]
+    cold_s = total_s - sum(times)   # structure build + initial error eval
+
+    hit = target is not None and float(info["error"]) <= target
+    wall_conv = total_s if hit else None
     ref_wall = sum(refba.get("iters_s", [])) or None
-    vsb = (ref_wall / wall_conv) if (wall_conv and ref_wall) else (
-        ref.get("bal_ladybug_lm_iter_seconds", 0) / per_iter or 1.0)
-    return dict(value=wall_conv, per_iter=per_iter, cold_s=cold_s,
+    vsb = (ref_wall / wall_conv) if (wall_conv and ref_wall) else 0.0
+    return dict(value=wall_conv if wall_conv is not None else total_s,
+                per_iter=per_iter, cold_s=cold_s,
                 final_half_chi2=float(info["error"]), iters=info["iterations"],
-                converged=bool(wall_conv is not None), vs_baseline=vsb,
+                converged=hit, vs_baseline=vsb,
                 ref_wall_s=ref_wall, prob=prob,
                 raw_iter_times=[round(t, 2) for t in times],
                 phase_of_iter=phases)

@@ -145,17 +145,23 @@ def linearize_raw(batch: FactorBatch, xs, forward_dtype=None,
 
 
 def linearize(batch: FactorBatch, xs, forward_dtype=None, out_dtype=None,
-              measurements=None):
+              measurements=None, b_dtype=None):
     """Batched whitened Jacobians/residuals in tangent space.
 
     Returns (A: tuple of (N, rdim, d_i), b: (N, rdim)) with convention
     ||A dx - b||^2,  b = -whitened_residual.
+
+    b_dtype: dtype for b alone (defaults to out_dtype).  The mixed-rhs BA
+    phase keeps Jacobians/assembly f32 but the residual side f64 — near
+    convergence the gradient rhs is small and absolute f32 noise dominates
+    it, while S only needs ~1e-7 relative accuracy (sfm/ba.py round 4).
     """
     if batch.linearize_fn is not None:
         J, b = jax.vmap(batch.linearize_fn)(xs, batch.measurements)
         return J, b
 
     out_dt = out_dtype if out_dtype is not None else _default_dtype()
+    b_dt = b_dtype if b_dtype is not None else out_dt
     J, r = linearize_raw(batch, xs, forward_dtype, measurements)
     wr = batch.noise.whiten(r)
     wJ = tuple(batch.noise.whiten_jacobian(Ji) for Ji in J)
@@ -167,7 +173,7 @@ def linearize(batch: FactorBatch, xs, forward_dtype=None, out_dtype=None,
     # rounding the correct value costs eps32*|b|, computing it in f32 costs
     # eps32*|intermediates| >> |b| near convergence
     wJ = tuple(Ji.astype(out_dt) for Ji in wJ)
-    return wJ, -wr.astype(out_dt)
+    return wJ, -wr.astype(b_dt)
 
 
 # -- concrete factor constructors -----------------------------------------

@@ -180,6 +180,49 @@ class SchurStructure:
             cam_pad_idx, tuple(cam_buckets), None, cam_ids,
             sym_groups, sym_pad_idx, sym_buckets, sym_cells, None), order
 
+    def device_ops(self):
+        """Device-resident operand dict for the jitted solve step.
+
+        The plan's index arrays are LARGE (pair products are O(sum l^2) ~ 2M+
+        rows at Ladybug scale).  Closing over them embeds them as literals in
+        the lowered StableHLO, which costs ~60-90 s of lowering/hashing PER
+        PROCESS (measured round 4) even when the compiled executable comes
+        from the persistent cache — so every jitted entry point takes this
+        dict as a runtime argument instead."""
+        ops = {
+            "obs_cam": jnp.asarray(self.obs_cam),
+            "obs_pt": jnp.asarray(self.obs_pt),
+            "obs_pt_new": jnp.asarray(self.obs_pt_new),
+            "cam_pad_idx": jnp.asarray(self.cam_pad_idx),
+            "cam_ids": jnp.asarray(self.cam_ids),
+        }
+        Ns = int(self.obs_pt_new[-1]) + 1 if len(self.obs_pt_new) else 0
+        ops["point_perm_ns"] = jnp.asarray(self.point_perm[:Ns])
+        if self.pt_tail is not None:
+            ops["pt_tail_seg"] = jnp.asarray(self.pt_tail[1])
+        M = self.num_cameras
+        if self.sym_groups and self.sym_pad_idx is not None:
+            ia, ib, swap, diagp = self.sym_groups
+            ops["sym_ia"] = jnp.asarray(ia)
+            ops["sym_ib"] = jnp.asarray(ib)
+            ops["sym_swap"] = jnp.asarray(swap)
+            ops["sym_diagp"] = jnp.asarray(diagp)
+            ops["sym_pad_idx"] = jnp.asarray(self.sym_pad_idx)
+            ca_h, cb_h = np.divmod(self.sym_cells, M)
+            ops["sym_ca"] = jnp.asarray(ca_h.astype(np.int32))
+            ops["sym_cb"] = jnp.asarray(cb_h.astype(np.int32))
+        else:
+            # general (directed-pair) path operands — only needed when the
+            # sym plan is unavailable (a track longer than _GROUP_CAP)
+            ops["pair_a"] = jnp.asarray(self.pair_a)
+            ops["pair_b"] = jnp.asarray(self.pair_b)
+            ca_h, cb_h = np.divmod(self.cell_unique, M)
+            ops["cell_ca"] = jnp.asarray(ca_h.astype(np.int32))
+            ops["cell_cb"] = jnp.asarray(cb_h.astype(np.int32))
+            if self.cell_tail is not None:
+                ops["cell_tail_seg"] = jnp.asarray(self.cell_tail[1])
+        return ops
+
 
 _GROUP_CAP = 64
 
@@ -268,18 +311,58 @@ def _padded_reduce(rows, pad_idx, buckets, num_out, out_ids):
         jnp.asarray(out_ids)].set(red)
 
 
-def _grouped_reduce(rows, groups, tail):
-    """Sum sorted contiguous runs: rows (K, W) -> (num_runs, W)."""
+def _grouped_reduce(rows, groups, tail, tail_seg=None):
+    """Sum sorted contiguous runs: rows (K, W) -> (num_runs, W).
+
+    tail_seg: optional device-resident segment ids for the tail (passed as a
+    jit operand; falls back to embedding tail[1] as a constant)."""
     W = rows.shape[1]
     outs = []
     for (r0, n, l) in groups:
         outs.append(rows[r0:r0 + n * l].reshape(n, l, W).sum(1))
     if tail is not None:
         t0, seg_ids, nseg = tail
-        outs.append(jax.ops.segment_sum(rows[t0:], jnp.asarray(seg_ids), nseg))
+        seg = tail_seg if tail_seg is not None else jnp.asarray(seg_ids)
+        outs.append(jax.ops.segment_sum(rows[t0:], seg, nseg))
     if not outs:
         return jnp.zeros((0, W), dtype=rows.dtype)
     return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+
+
+def _pad_rows(a, n_to):
+    """Zero-pad the leading dim of `a` up to n_to rows."""
+    pad = n_to - a.shape[0]
+    if pad == 0:
+        return a
+    return jnp.concatenate(
+        [a, jnp.zeros((pad,) + a.shape[1:], dtype=a.dtype)])
+
+
+_ROW_CHUNK = 1 << 15
+
+
+def _row_chunked(f, args, chunk=_ROW_CHUNK):
+    """Apply `f` to row-chunks of `args` via lax.map; concat the outputs.
+
+    Why: XLA's TPU backend UNROLLS flat-lane relayout ops (static lane
+    gathers/permutes and last-dim splits) over row tiles — code size grows
+    linearly with rows (~25 MB per 1M-row lane permute, measured round 4).
+    Emitting the op once inside a lax.map body bounds the program to one
+    chunk's worth of code while keeping HBM traffic identical.  All of
+    schur_solve's per-row lane algebra goes through here.
+    """
+    K = args[0].shape[0]
+    nch = -(-K // chunk)
+    if nch <= 1:
+        out = f(*args)
+        return out if isinstance(out, tuple) else (out,)
+    kp = nch * chunk
+    padded = tuple(
+        _pad_rows(a, kp).reshape((nch, chunk) + a.shape[1:]) for a in args)
+    outs = jax.lax.map(lambda xs: f(*xs), padded)
+    if not isinstance(outs, tuple):
+        outs = (outs,)
+    return tuple(o.reshape((kp,) + o.shape[2:])[:K] for o in outs)
 
 
 def _flat_mm(X, Y, p, q, r):
@@ -331,7 +414,30 @@ def _invert_3x3_psd(H, lam):
     return _inv3x3(Hd)
 
 
-def _dense_spd_solve(S, rhs, mixed_precision=False, refine_iters=2):
+def _inv3x3_flat(h):
+    """Adjugate 3x3 inverse on FLAT-LANE storage: (N, 9) -> (N, 9).
+
+    Same math as _inv3x3 without the (N,3,3) round-trip (the last-dim split
+    reshape is one of the unrolled relayouts _row_chunked exists to contain)."""
+    a, b, c = h[:, 0], h[:, 1], h[:, 2]
+    d, e, f = h[:, 3], h[:, 4], h[:, 5]
+    g, hh, i = h[:, 6], h[:, 7], h[:, 8]
+    A = e * i - f * hh
+    B = c * hh - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * hh - e * g
+    Hc = b * g - a * hh
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    inv_det = 1.0 / det
+    return jnp.stack([A, B, C, D, E, F, G, Hc, I], axis=1) * inv_det[:, None]
+
+
+def _dense_spd_solve(S, rhs, mixed_precision=False, refine_iters=2,
+                     matvec=None):
     """Jacobi-equilibrated Cholesky solve; optionally factorize in f32 on the
     MXU and recover accuracy with iterative refinement (TPU f64 is emulated and
     slow/expensive to compile at scale — SURVEY.md §7 'f32 + refinement').
@@ -344,14 +450,15 @@ def _dense_spd_solve(S, rhs, mixed_precision=False, refine_iters=2):
     live — this is what rescues convergence at Ladybug scale, where
     cond(S_equilibrated) makes a plain f32 solve floor LM ~1e-4 above the
     reference optimum (measured: stall at half-chi2 330,009 vs 329,909)."""
+    from ..linear.dense_blocked import blocked_cholesky, blocked_cho_solve
     d = jnp.clip(jnp.diagonal(S), 1e-12, None)
     s = jax.lax.rsqrt(d)
     Se = S * s[:, None] * s[None, :]
     rhe = rhs * s
     x64 = jax.config.jax_enable_x64
     if not mixed_precision or (S.dtype == jnp.float32 and not x64):
-        L = jnp.linalg.cholesky(Se)
-        return jax.scipy.linalg.cho_solve((L, True), rhe) * s
+        L = blocked_cholesky(Se)
+        return blocked_cho_solve(L, rhe.astype(S.dtype)) * s
     hi = jnp.float64 if x64 else S.dtype
     # HBM discipline (the whole BA fine step must stay < 15.75G): only S (the
     # input) is kept in f64; the equilibrated matrix exists ONLY as the f32
@@ -359,19 +466,26 @@ def _dense_spd_solve(S, rhs, mixed_precision=False, refine_iters=2):
     # refinement matvec reads row chunks of S directly via dynamic_slice so
     # the transient is CH*n*8B, not n^2*8B
     S32 = (S * s[:, None] * s[None, :]).astype(jnp.float32)
-    L32 = jnp.linalg.cholesky(S32)
+    L32 = blocked_cholesky(S32)
     s_hi = s.astype(hi)
 
     def precond(r):
         """~S^-1 r via the equilibrated f32 factorization."""
         r32 = (r * s_hi).astype(jnp.float32)
-        return s_hi * jax.scipy.linalg.cho_solve((L32, True), r32).astype(hi)
+        return s_hi * blocked_cho_solve(L32, r32).astype(hi)
 
     n = S.shape[0]
     CH = 2048
     nch = -(-n // CH)
 
-    if n <= CH:
+    if matvec is not None:
+        # caller-provided hi-accuracy matvec (e.g. the implicit Schur form
+        # S x = Hpp_d x - WC (W^T x) accumulated in f64 from the f32 factors:
+        # refining against it recovers the solution of the EXACT Gram system
+        # of the f32 Jacobians, which a matvec against the f32-ROUNDED dense
+        # S cannot — measured round 4 as LM stalling 5e-4 above the optimum)
+        hi_matvec = matvec
+    elif n <= CH:
         def hi_matvec(xv):
             return S.astype(hi) @ xv
     else:
@@ -396,69 +510,168 @@ def _dense_spd_solve(S, rhs, mixed_precision=False, refine_iters=2):
     for _ in range(refine_iters):
         r = rhs_hi - hi_matvec(x)
         x = x + precond(r)
-    return x.astype(S.dtype)
+    # with a caller-provided exact matvec the refined iterate is meaningful
+    # beyond f32 — keep it (the step quality near convergence depends on it)
+    return x if matvec is not None else x.astype(S.dtype)
+
+
+def _wt27_prod(Wk, xkc):
+    """Row-batched W_k^T x_k on flat lanes: W (c, 27) [i*3+j], x (c, 9) ->
+    (c, 3).  out lane j = sum_i W[:, 3i+j] * x[:, i]."""
+    tmp = Wk * xkc[:, jnp.asarray(np.arange(27) // 3)]           # (c, 27)
+    acc = None
+    for i in range(9):
+        sl = tmp[:, jnp.asarray([3 * i, 3 * i + 1, 3 * i + 2])]
+        acc = sl if acc is None else acc + sl                    # (c, 3)
+    return acc
+
+
+def _assemble_S_planes(M, red, cells_a, cells_b, red_swap, Hpp_flat):
+    """Assemble the reduced camera matrix S (9M, 9M, parameter-major) from
+    per-cell 81-lane block sums.
+
+    Plane-major construction: one lax.map over the 81 (i, j) block-entry
+    planes; each step scatters the U cell values (U ~ #unique camera pairs,
+    thousands) into an (M, M) plane, mirrors off-diagonal cells when the cell
+    list is undirected (red_swap given), and adds the damped Hpp diagonal.
+    The final (9,9,M,M) -> (9M,9M) interleave is a cheap 4-D transpose.
+
+    Why not scatter (M*M, 81) flat rows and lane-split at the end: the
+    (M*M,81)->(M,M,9,9) relayout is row-proportional UNROLLED code (43 MB at
+    M=1723, measured round 4); and an (M,M,9,9) intermediate tile-pads
+    (9,9)->(16,128) = 24 GB of HBM.  Planes keep minor dims >= M and all
+    lane twiddling on U-row arrays.
+    """
+    dt = red.dtype
+    redT = red.T                                      # (81, U)
+    HppT = Hpp_flat.T                                 # (81, M)
+    diag = jnp.arange(M, dtype=jnp.int32)
+    cells = cells_a * M + cells_b
+    if red_swap is not None:
+        mirror = cells_b * M + cells_a
+        offmask = cells_a != cells_b
+        redsT = red_swap.T
+
+        def plane(args):
+            rv, rs, hv = args
+            p = jnp.zeros((M * M,), dt).at[cells].add(-rv)
+            p = p.at[jnp.where(offmask, mirror, cells)].add(
+                jnp.where(offmask, -rs, jnp.zeros_like(rs)))
+            p = p.at[diag * M + diag].add(hv)
+            return p.reshape(M, M)
+
+        S4 = jax.lax.map(plane, (redT, redsT, HppT))  # (81, M, M)
+    else:
+        def plane(args):
+            rv, hv = args
+            p = jnp.zeros((M * M,), dt).at[cells].add(-rv)
+            p = p.at[diag * M + diag].add(hv)
+            return p.reshape(M, M)
+
+        S4 = jax.lax.map(plane, (redT, HppT))
+    return S4.reshape(9, 9, M, M).transpose(0, 2, 1, 3).reshape(9 * M, 9 * M)
 
 
 def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False,
-                mixed_precision=False):
+                mixed_precision=False, ops=None, _stage=None):
     """Solve the damped GN system by landmark elimination.
 
     A_cam: (K, 2, 9), A_pt: (K, 2, 3), b: (K, 2) — whitened, in st's grouped
     observation order.  Returns (delta_cam (M,9), delta_pt (N,3) in ORIGINAL
     point numbering).  All block algebra runs in flat-lane layout (81/27/9
     wide) and all point/cell reductions are contiguous reshape-reduces.
+
+    ops: st.device_ops() passed through the jit boundary as runtime operands
+    (required under jit at scale — closed-over plan arrays would be embedded
+    as HLO literals, costing ~90 s of lowering per process).  When None the
+    operands are materialized from st (eager/small-problem convenience).
     """
     M, N = st.num_cameras, st.num_points
+    if ops is None:
+        ops = st.device_ops()
     dt = A_cam.dtype
-    seg_cam = jnp.asarray(st.obs_cam)
-    obs_pt_new = jnp.asarray(st.obs_pt_new)
+    seg_cam = ops["obs_cam"]
+    obs_pt_new = ops["obs_pt_new"]
     Ns = int(st.obs_pt_new[-1]) + 1 if len(st.obs_pt_new) else 0
+    pt_tail_seg = ops.get("pt_tail_seg")
 
     def cam_reduce(rows):
-        return _padded_reduce(rows, st.cam_pad_idx, st.cam_buckets, M,
-                              st.cam_ids)
+        return _padded_reduce(rows, ops["cam_pad_idx"], st.cam_buckets, M,
+                              ops["cam_ids"])
 
-    # per-landmark blocks (flat 9-wide), contiguous grouped reduction
-    hll_k = (A_pt[:, :, _I3] * A_pt[:, :, _J3]).sum(1)          # (K, 9)
-    gl_k = jnp.einsum("kri,kr->ki", A_pt, b)                     # (K, 3)
-    Hll = _grouped_reduce(hll_k, st.pt_groups, st.pt_tail)       # (Ns, 9)
-    gl = _grouped_reduce(gl_k, st.pt_groups, st.pt_tail)         # (Ns, 3)
+    # MIXED-RHS mode (b arrives in a higher dtype than A): the Jacobians
+    # arrive f32 and the FACTORIZATION runs f32 on the MXU, but the entire
+    # Gram/gradient chain (Hll, Hpp, W, C, WC, pair products, gl, gp, rhs)
+    # is computed in b's dtype — products of f32 values evaluated in f64 are
+    # EXACT, so S becomes the exact Gram of the f32 Jacobians.  Measured
+    # round 4: with any of these pieces rounded to f32, LM floors 6e-4 above
+    # the reference optimum (f32 product rounding feeds the heavily
+    # cancelling Schur complement); with the exact-Gram chain + implicit
+    # refinement it converges below it, replacing the emulated-f64 jacfwd
+    # fine phase entirely.
+    bt = b.dtype
+    rhs_hi = bt != dt
+    gt_ = bt if rhs_hi else dt   # Gram dtype
 
-    # per-camera diagonal blocks + gradients (flat 81+9-wide, one fused
-    # pow2-padded reduction — no duplicate-index scatter)
-    hpp_k = (A_cam[:, :, _I9] * A_cam[:, :, _J9]).sum(1)         # (K, 81)
-    gp_k = jnp.einsum("kri,kr->ki", A_cam, b)                    # (K, 9)
-    cam_red = cam_reduce(jnp.concatenate([hpp_k, gp_k], axis=1))
-    Hpp, gp = cam_red[:, :81], cam_red[:, 81:]
+    # per-observation flat-lane products, row-chunked (see _row_chunked: the
+    # lane gathers would otherwise unroll into row-proportional code)
+    def obs_prods(ac, ap, bb):
+        ac = ac.astype(gt_)
+        ap = ap.astype(gt_)
+        hll = (ap[:, :, _I3] * ap[:, :, _J3]).sum(1)             # (c, 9)
+        glc = jnp.einsum("kri,kr->ki", ap, bb)                   # (c, 3)
+        hpp = (ac[:, :, _I9] * ac[:, :, _J9]).sum(1)             # (c, 81)
+        gpc = jnp.einsum("kri,kr->ki", ac, bb)                   # (c, 9)
+        Wc = (ac[:, :, _I93] * ap[:, :, _J93]).sum(1)            # (c, 27)
+        return hll, glc, hpp, gpc, Wc
 
-    # per-observation coupling W_k = A_cam^T A_pt, flat 27-wide (i*3+j)
-    W = (A_cam[:, :, _I93] * A_pt[:, :, _J93]).sum(1)            # (K, 27)
+    hll_k, gl_k, hpp_k, gp_k, W = _row_chunked(
+        obs_prods, (A_cam, A_pt, b))
+    Hll = _grouped_reduce(hll_k, st.pt_groups, st.pt_tail, pt_tail_seg)
+    gl = _grouped_reduce(gl_k, st.pt_groups, st.pt_tail, pt_tail_seg)
+
+    # per-camera diagonal blocks + gradients (pow2-padded contiguous
+    # reductions — no duplicate-index scatter)
+    if rhs_hi:
+        Hpp = cam_reduce(hpp_k)
+        gp = cam_reduce(gp_k)
+    else:
+        cam_red = cam_reduce(jnp.concatenate([hpp_k, gp_k], axis=1))
+        Hpp, gp = cam_red[:, :81], cam_red[:, 81:]
 
     if diagonal_damping:
         hdiag = (Hll[:, 0] + Hll[:, 4] + Hll[:, 8]) / 3.0
-        C = _inv3x3(
-            Hll.reshape(-1, 3, 3)
-            + hdiag[:, None, None] * lam * jnp.eye(3, dtype=dt)).reshape(-1, 9)
+        lam_eff = hdiag[:, None] * lam
     else:
-        C = _invert_3x3_psd(Hll.reshape(-1, 3, 3), lam).reshape(-1, 9)
+        lam_eff = jnp.full((Hll.shape[0], 1), lam, dtype=gt_)
+    diag_lanes = jnp.asarray((_I3 == _J3).astype(np.float32)).astype(gt_)
+
+    def landmark_solve(hll, glc, le):
+        Cc = _inv3x3_flat(hll + le * diag_lanes[None, :])        # (c, 9)
+        Cgc = _flat_mm(Cc, glc, 3, 3, 1)                         # (c, 3)
+        return Cc, Cgc
+
+    C, Cg = _row_chunked(landmark_solve, (Hll, gl, lam_eff))
 
     # reduced gradient: gp_tilde = gp - sum_k W_k C_{pt_k} gl_{pt_k}
-    Cg = _flat_mm(C, gl, 3, 3, 1)                                # (Ns, 3)
+    # and coupling products WC_k = W_k C_{pt_k} (flat 27-wide, i*3+l)
     Cgk = Cg[obs_pt_new]
-    corr = _flat_mm(W, Cgk, 9, 3, 1)                             # (K, 9)
-    gp_t = gp - cam_reduce(corr)
-
-    # WC_k = W_k C_{pt_k}, flat 27-wide (i*3+l)
     Ck = C[obs_pt_new]
-    WC = _flat_mm(W, Ck, 9, 3, 3)                                # (K, 27)
+
+    def coupling(Wk, cgk, ck):
+        return (_flat_mm(Wk, cgk, 9, 3, 1),
+                _flat_mm(Wk, ck, 9, 3, 3))
+
+    corr, WC = _row_chunked(coupling, (W, Cgk, Ck))
+    gp_t = gp - cam_reduce(corr)
+    if _stage == "coupling":
+        return gp_t, WC
 
     # reduced camera matrix: S[ca, cb] -= WC_a W_b^T over track pairs
-    Sflat = jnp.zeros((M * M, 81), dtype=dt)
-    # sym fast path only in f32: its fused pair-product buffers are ~5x the
-    # chunked general path's peak, which in f64 overflows HBM at Ladybug
-    # scale (measured 20.5 GB needed); the general path below slices pairs
-    # in 128k chunks so the f64 fine phase stays memory-bounded
-    if st.sym_groups and dt == jnp.float32:
+    # the sym fast path serves BOTH dtypes since round 4: its pair products
+    # are row-chunked, so the peak temp is one chunk's worth, not the ~5x
+    # full-pair buffer that used to overflow HBM in f64 at Ladybug scale
+    if st.sym_groups:
         # fast path: undirected upper pairs; the cell sort is composed into
         # the operand gather indices so product rows are BORN cell-sorted
         # (flat 81-lane products only — (…,9,9) trailing dims tile to 25x
@@ -467,122 +680,147 @@ def schur_solve(st: SchurStructure, A_cam, A_pt, b, lam, diagonal_damping=False,
         _T81 = (np.arange(81).reshape(9, 9).T).reshape(-1)
         iW = np.repeat(np.arange(9), 9)
         lW = np.tile(np.arange(9), 9)
-        ia, ib, swap, diagp = st.sym_groups
-        wcp = WC[jnp.asarray(ia)]                             # (Ph, 27)
-        wvp = W[jnp.asarray(ib)]
-        pr = wcp[:, 3 * iW + 0] * wvp[:, 3 * lW + 0]
-        pr = pr + wcp[:, 3 * iW + 1] * wvp[:, 3 * lW + 1]
-        pr = pr + wcp[:, 3 * iW + 2] * wvp[:, 3 * lW + 2]     # (Ph, 81)
-        prT = pr[:, jnp.asarray(_T81)]
-        sw = jnp.asarray(swap)[:, None]
-        out = jnp.where(sw, prT, pr)
-        if diagp.any():
-            # same-camera off-diagonal pair inside one track: the directed
-            # sum contributes X + X^T to the diagonal cell
-            out = jnp.where(jnp.asarray(diagp)[:, None], pr + prT, out)
-        ext = jnp.concatenate([out, jnp.zeros((1, 81), dtype=dt)])
-        gat = ext[jnp.asarray(st.sym_pad_idx)]
+        _, _, swap_h, diagp_h = st.sym_groups   # host copies: static checks
+        wcp = WC[ops["sym_ia"]]                               # (Ph, 27)
+        wvp = W[ops["sym_ib"]]
+        diag_any = bool(diagp_h.any())
+
+        def pair_prod(wc, wv, sw, dp):
+            pr = wc[:, 3 * iW + 0] * wv[:, 3 * lW + 0]
+            pr = pr + wc[:, 3 * iW + 1] * wv[:, 3 * lW + 1]
+            pr = pr + wc[:, 3 * iW + 2] * wv[:, 3 * lW + 2]   # (c, 81)
+            prT = pr[:, jnp.asarray(_T81)]
+            out = jnp.where(sw[:, None], prT, pr)
+            if diag_any:
+                # same-camera off-diagonal pair inside one track: the
+                # directed sum contributes X + X^T to the diagonal cell
+                out = jnp.where(dp[:, None], pr + prT, out)
+            return out
+
+        (out,) = _row_chunked(pair_prod, (wcp, wvp, ops["sym_swap"],
+                                          ops["sym_diagp"]))
+        ext = jnp.concatenate([out, jnp.zeros((1, 81), dtype=out.dtype)])
+        gat = ext[ops["sym_pad_idx"]]
         red = jnp.concatenate(
             [gat[p0:p0 + nr * Pw].reshape(nr, Pw, 81).sum(1)
              for (p0, nr, Pw) in st.sym_buckets]) \
             if len(st.sym_buckets) > 1 else \
             gat.reshape(st.sym_buckets[0][1], st.sym_buckets[0][2], 81).sum(1)
-        Sflat = Sflat.at[jnp.asarray(st.sym_cells)].set(-red)
-        ca_h, cb_h = np.divmod(st.sym_cells, M)
-        off = np.flatnonzero(ca_h != cb_h)
-        if len(off):
-            mirror = cb_h[off] * M + ca_h[off]
-            Sflat = Sflat.at[jnp.asarray(mirror)].set(
-                -red[jnp.asarray(off)][:, jnp.asarray(_T81)])
+        red_swap = red[:, jnp.asarray(_T81)]     # mirrored (U rows: tiny)
+        cells_a, cells_b = ops["sym_ca"], ops["sym_cb"]
+        if _stage == "red":
+            return red, red_swap
     else:
         # general path (long-track tail present): directed pairs, grouped by
         # destination cell run so the reduction is contiguous
         iW = np.repeat(np.arange(9), 9)
         lW = np.tile(np.arange(9), 9)
-        pa_all = jnp.asarray(st.pair_a)
-        pb_all = jnp.asarray(st.pair_b)
+        pa_all = ops["pair_a"]
+        pb_all = ops["pair_b"]
 
-        def _pair_rows(sl):
-            wc = WC[pa_all[sl]]
-            w = W[pb_all[sl]]
+        def _pair_prod(wc, w):
             acc = wc[:, 3 * iW + 0] * w[:, 3 * lW + 0]
             acc = acc + wc[:, 3 * iW + 1] * w[:, 3 * lW + 1]
             acc = acc + wc[:, 3 * iW + 2] * w[:, 3 * lW + 2]
             return acc                                           # (p, 81)
 
-        CHUNK = 1 << 17
+        (pr_all,) = _row_chunked(_pair_prod, (WC[pa_all], W[pb_all]))
         cell_parts = []
         for (p0, n, l) in st.cell_groups:
-            ncell_chunk = max(1, CHUNK // l)
-            subs = []
-            for c0 in range(0, n, ncell_chunk):
-                nc = min(ncell_chunk, n - c0)
-                sl = slice(p0 + c0 * l, p0 + (c0 + nc) * l)
-                subs.append(_pair_rows(sl).reshape(nc, l, 81).sum(1))
-            cell_parts.append(jnp.concatenate(subs)
-                              if len(subs) > 1 else subs[0])
+            cell_parts.append(
+                pr_all[p0:p0 + n * l].reshape(n, l, 81).sum(1))
         if st.cell_tail is not None:
             t0, seg_ids, nseg = st.cell_tail
-            acc = jnp.zeros((nseg, 81), dtype=dt)
-            P_tail = len(st.pair_a) - t0
-            for c0 in range(0, P_tail, CHUNK):
-                sl = slice(t0 + c0, t0 + min(c0 + CHUNK, P_tail))
-                acc = acc + jax.ops.segment_sum(
-                    _pair_rows(sl), jnp.asarray(seg_ids[c0:c0 + CHUNK]), nseg)
-            cell_parts.append(acc)
-        U = len(st.cell_unique)
+            tail_seg = ops.get("cell_tail_seg")
+            if tail_seg is None:
+                tail_seg = jnp.asarray(seg_ids)
+            cell_parts.append(
+                jax.ops.segment_sum(pr_all[t0:], tail_seg, nseg))
         if cell_parts:
-            cellsum = (jnp.concatenate(cell_parts)
-                       if len(cell_parts) > 1 else cell_parts[0])
+            red = (jnp.concatenate(cell_parts)
+                   if len(cell_parts) > 1 else cell_parts[0])
         else:
-            cellsum = jnp.zeros((0, 81), dtype=dt)
-        # assemble on the flat (M*M, 81) layout (81-lane rows tile cleanly;
-        # a (M,9,M,9) windowed scatter would materialize a (9,9,M^2) temp)
-        if U:
-            Sflat = Sflat.at[jnp.asarray(st.cell_unique)].set(-cellsum)
-    diag_idx = jnp.arange(M, dtype=jnp.int32)
+            red = jnp.zeros((0, 81), dtype=gt_)
+        red_swap = None                          # directed: both (a,b),(b,a)
+        cells_a, cells_b = ops["cell_ca"], ops["cell_cb"]
+
+    # damped camera-diagonal blocks, flat lanes (diag lanes are _I9 == _J9);
+    # stays in Hpp's dtype (hi under mixed-rhs, also feeding the matvec)
+    diag81 = jnp.asarray((_I9 == _J9).astype(np.float64)).astype(Hpp.dtype)
     if diagonal_damping:
-        damp = lam * Hpp[:, _I9 == _J9]
-        Hpp_d = Hpp.reshape(M, 9, 9) + jax.vmap(jnp.diag)(damp)
+        Hpp_d = Hpp * (1.0 + lam * diag81)[None, :]
     else:
-        Hpp_d = Hpp.reshape(M, 9, 9) + lam * jnp.eye(9, dtype=dt)
-    Sflat = Sflat.at[diag_idx * M + diag_idx].add(Hpp_d.reshape(M, 81))
+        Hpp_d = Hpp + lam * diag81[None, :]
+
     # Assemble/solve in the PARAMETER-MAJOR permutation (row index i*M+a
-    # instead of a*9+i): the (0,2,1,3) camera-major transpose materializes an
-    # (M,9,M,9) copy whose 9-wide trailing dim pads 14.3x under TPU (8,128)
-    # tiling — 12.8 GB at Ladybug scale, an HBM OOM.  (2,0,3,1) keeps M last
-    # (~1.8x padding), and a symmetric permutation leaves the Cholesky
-    # identical; only the rhs/solution transpose (M,9)<->(9,M), which is
-    # negligible.
-    S = jnp.transpose(Sflat.reshape(M, M, 9, 9), (2, 0, 3, 1)).reshape(
-        9 * M, 9 * M)
+    # instead of a*9+i): a symmetric permutation leaves the Cholesky
+    # identical, the camera-major (M,9,M,9) layout would tile-pad 14.3x
+    # (12.8 GB at Ladybug scale), and the plane-major construction keeps
+    # every relayout compact (see _assemble_S_planes).  The factorization
+    # operand is f32 regardless (hi-summed cells round once at the end).
+    S = _assemble_S_planes(
+        M, red.astype(dt),
+        cells_a, cells_b,
+        red_swap.astype(dt) if red_swap is not None else None,
+        Hpp_d.astype(dt))
+    if _stage == "S":
+        return S, gp_t
+
+    matvec = None
+    if rhs_hi:
+        def matvec(xp):
+            """Implicit Schur matvec in hi (param-major (9M,) -> (9M,)):
+            S x = Hpp_d x - sum_k WC_k (sum_{k' in track(k)} W_k'^T x_k').
+            Accumulated in b's dtype from the f32 factors, this is the EXACT
+            Gram of the f32 Jacobians — the refinement target the f32-rounded
+            dense S cannot provide (reference analog:
+            slam/RegularImplicitSchurFactor.h:272 multiplyHessianAdd)."""
+            X = xp.reshape(9, M).T.astype(bt)            # (M, 9)
+            xk = X[seg_cam]                              # (K, 9) hi
+            (tk,) = _row_chunked(
+                lambda Wk, xkc: _wt27_prod(Wk, xkc), (W, xk))
+            u = _grouped_reduce(tk, st.pt_groups, st.pt_tail, pt_tail_seg)
+            uk = u[obs_pt_new]                           # (K, 3) hi
+            (vk,) = _row_chunked(
+                lambda WCk, ukc: _flat_mm(WCk, ukc, 9, 3, 1), (WC, uk))
+            HX = _flat_mm(Hpp_d.astype(bt), X, 9, 9, 1)  # (M, 9) hi
+            y = HX - cam_reduce(vk)
+            return y.T.reshape(-1)
 
     # dense factorize + solve (parameter-major rhs/solution)
     rhs_p = gp_t.reshape(M, 9).T.reshape(-1)
-    dc = _dense_spd_solve(S, rhs_p, mixed_precision).reshape(9, M).T
+    dc = _dense_spd_solve(S, rhs_p, mixed_precision, matvec=matvec,
+                          refine_iters=3 if matvec is not None else 2
+                          ).reshape(9, M).T
 
     # back-substitute landmarks: dl = C (gl - W^T dc)
     dck = dc[seg_cam]                                            # (K, 9)
-    # W^T dc: out lane j = sum_i W[:, 3i+j] * dck[:, i] — expand dck across
-    # the 27 lanes, then 3-lane strided sums (all flat-lane, no stacks)
-    tmp = W * dck[:, jnp.asarray(np.arange(27) // 3)]            # (K, 27)
-    Wt_dc = None
-    for i in range(9):
-        sl = tmp[:, jnp.asarray([3 * i, 3 * i + 1, 3 * i + 2])]
-        Wt_dc = sl if Wt_dc is None else Wt_dc + sl              # (K, 3)
-    rhs_l = gl - _grouped_reduce(Wt_dc, st.pt_groups, st.pt_tail)
-    dl_new = _flat_mm(C, rhs_l, 3, 3, 1)                         # (Ns, 3)
+    (Wt_dc,) = _row_chunked(_wt27_prod, (W, dck))
+    rhs_l = gl - _grouped_reduce(Wt_dc, st.pt_groups, st.pt_tail, pt_tail_seg)
+    (dl_new,) = _row_chunked(
+        lambda Cc, rl: _flat_mm(Cc, rl, 3, 3, 1), (C, rhs_l))    # (Ns, 3)
     dl = jnp.zeros((N, 3), dtype=dt)
-    dl = dl.at[jnp.asarray(st.point_perm[:Ns])].set(dl_new)
+    dl = dl.at[ops["point_perm_ns"]].set(dl_new.astype(dt))
     return dc, dl
 
 
 def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
-                verbose: bool = False, dtype=None, mixed_precision: bool = False):
+                verbose: bool = False, dtype=None, mixed_precision: bool = False,
+                target_error: Optional[float] = None):
     """Full BAL bundle adjustment: LM with Schur elimination.
 
     Returns (values_dict, info).  Reference flow: timing/timeSFMBAL.h (LM with
     MULTIFRONTAL + Schur via dense elimination ordering putting points first).
+
+    target_error: optional absolute half-chi2 stopping target (the
+    time-to-converged-chi2 benchmark semantics: stop as soon as the error is
+    at or below the reference's converged value).
+
+    All large plan arrays are passed INTO the jitted step functions as runtime
+    operands (never closed over): embedded-literal lowering of the ~2M-row
+    pair-product plan costs ~90 s per process even on a fully warm persistent
+    compilation cache (measured round 4: lower() 63 s for error_fn alone,
+    0.1 s trace / 0.5 s cached compile).
     """
     params = params or LMParams()
     dt = dtype or _default_dtype()
@@ -591,19 +829,15 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
     st, order = SchurStructure.build(prob.obs_cam, prob.obs_pt,
                                      prob.num_cameras, prob.num_points)
     uv = jnp.asarray(prob.obs_uv[order], dtype=hi)
+    ops = st.device_ops()
 
     batch = factors_mod.custom_factors(
         "ProjectionBal", ("BalCamera", "Point3"),
-        np.zeros((len(st.obs_cam), 2), dtype=np.int64),  # keys unused here
-        bal_mod._projection_residual, 2, uv, noise_mod.unit())
+        np.zeros((1, 2), dtype=np.int64),  # keys unused here
+        bal_mod._projection_residual, 2, None, noise_mod.unit())
 
-    obs_cam = jnp.asarray(st.obs_cam)
+    obs_cam = ops["obs_cam"]
     obs_pt = jnp.asarray(st.obs_pt)
-
-    def gather(cams, pts):
-        cam_k = jax.tree.map(lambda a: a[obs_cam], cams)
-        pt_k = pts[obs_pt]
-        return cam_k, pt_k
 
     # TWO-PHASE precision schedule (SURVEY §7 'f32 + refinement', measured on
     # the Ladybug-1723 shape):
@@ -616,9 +850,10 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
     # chi2 is always accumulated in f64 (f32 sum noise at 1.1M terms is the
     # same order as the final LM decrements).
     @jax.jit
-    def error_fn(cams, pts):
-        cam_k, pt_k = gather(cams, pts)
-        r = factors_mod.residuals(batch, (cam_k, pt_k))
+    def error_fn(cams, pts, obs_cam, obs_pt, uv):
+        cam_k = jax.tree.map(lambda a: a[obs_cam], cams)
+        pt_k = pts[obs_pt]
+        r = factors_mod.residuals(batch, (cam_k, pt_k), measurements=uv)
         r = r.astype(hi)
         return 0.5 * jnp.sum(r * r)
 
@@ -637,25 +872,30 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
     uv_ch = uv[jnp.asarray(pad_idx)].reshape(NCH, CHK, 2)
 
     def make_phase(pdt):
-        # coarse (f32) phase: plain f32 Cholesky — its accuracy floor is hit
-        # long before the refinement would matter, and skipping the f64
-        # refinement keeps the fused step program comfortably inside HBM
-        mp_phase = mixed_precision and pdt != jnp.float32
+        # working-dtype (f32) phase — MIXED-RHS since round 4: Jacobians,
+        # quadratic assembly and S in f32, the residual/gradient chain (b,
+        # gl, gp, rhs) in f64, f32 factorization + f64 iterative refinement.
+        # Converges to the f64 optimum (measured), which retired the
+        # emulated-f64 fine phase from the nominal trajectory; the hi phase
+        # below survives as a stall fallback only.
+        mixed_rhs = mixed_precision and pdt == dt and hi != dt
+        mp_phase = mixed_precision and (pdt != jnp.float32 or mixed_rhs)
+        b_dt = hi if mixed_rhs else pdt
 
-        # fine phase: Jacobians stay f32 (measured equivalent at convergence;
-        # hi jacfwd is the expensive part of an emulated-f64 linearize), only
-        # the residual forward pass and the downstream Schur assembly are hi
-        fwd_dt = pdt if pdt == dt else None
+        # Jacobians stay f32 (measured equivalent at convergence; hi jacfwd
+        # is the expensive part of an emulated-f64 linearize), only the
+        # residual forward pass and the gradient chain are hi
+        fwd_dt = pdt if (pdt == dt and not mixed_rhs) else None
 
         @jax.jit
-        def linearize_fn(cams, pts):
+        def linearize_fn(cams, pts, obs_cam_ch, obs_pt_ch, uv_ch):
             def one_chunk(args):
                 oc, op, m = args
                 cam_k = jax.tree.map(lambda a: a[oc], cams)
                 pt_k = pts[op]
                 (A_cam, A_pt), b = factors_mod.linearize(
                     batch, (cam_k, pt_k), forward_dtype=fwd_dt,
-                    out_dtype=pdt, measurements=m)
+                    out_dtype=pdt, measurements=m, b_dtype=b_dt)
                 return A_cam, A_pt, b
 
             Ac, Ap, b = jax.lax.map(one_chunk,
@@ -664,31 +904,58 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
                     Ap.reshape(NCH * CHK, 2, 3)[:Kk],
                     b.reshape(NCH * CHK, 2)[:Kk])
 
-        @partial(jax.jit, static_argnums=(6,))
-        def try_step(cams, pts, A_cam, A_pt, b, lam, diagonal_damping):
+        @partial(jax.jit, static_argnums=(7,))
+        def try_step(cams, pts, A_cam, A_pt, b, lam, sops, diagonal_damping):
             dc, dl = schur_solve(st, A_cam, A_pt, b, lam, diagonal_damping,
-                                 mixed_precision=mp_phase)
+                                 mixed_precision=mp_phase, ops=sops)
             new_cams = jax.vmap(bal_retract)(cams, dc.astype(hi))
             new_pts = pts + dl.astype(hi)
-            return new_cams, new_pts, error_fn(new_cams, new_pts)
+            return new_cams, new_pts, error_fn(
+                new_cams, new_pts, sops["obs_cam"], sops["obs_pt"],
+                sops["uv"])
 
         return linearize_fn, try_step
+
+    ops["uv"] = uv
 
     phases = {dt: make_phase(dt)}
     if hi != dt:
         phases[hi] = None   # built lazily on first fine-phase iteration
     pdt = dt
-    # switch to the fine phase when coarse progress stalls (relative decrease
-    # below ~10x the coarse accuracy floor) or a lambda sweep fails outright
-    switch_tol = 3e-3
+    # fall back to the full-hi fine phase only on a genuine stall: the
+    # mixed-rhs working phase converges to the optimum on its own (round 4),
+    # so the switch fires only if progress collapses before convergence
+    switch_tol = max(10.0 * params.relative_error_tol, 1e-7)
 
     cams = BalCamera(SE3(jnp.asarray(prob.cam_R, dtype=hi),
                          jnp.asarray(prob.cam_t, dtype=hi)),
                      jnp.asarray(prob.cam_calib, dtype=hi))
     pts = jnp.asarray(prob.points, dtype=hi)
 
+    import os as _os
     import time as _time
-    error = float(error_fn(cams, pts))
+    _dbg = _os.environ.get("GTSAM_TPU_BA_DEBUG")
+
+    def _tlog(tag, t0):
+        if _dbg:
+            print(f"[ba {tag}] {_time.time() - t0:.2f}s", flush=True)
+
+    _t = _time.time()
+    if _dbg:
+        _tr = error_fn.trace(cams, pts, ops["obs_cam"], ops["obs_pt"], uv)
+        _tlog("error0.trace", _t)
+        _t2 = _time.time()
+        _lo = _tr.lower()
+        _tlog("error0.lower", _t2)
+        _t2 = _time.time()
+        _co = _lo.compile()
+        _tlog("error0.compile", _t2)
+        _t2 = _time.time()
+        error = float(_co(cams, pts, ops["obs_cam"], ops["obs_pt"], uv))
+        _tlog("error0.exec", _t2)
+    else:
+        error = float(error_fn(cams, pts, ops["obs_cam"], ops["obs_pt"], uv))
+    _tlog("error0", _t)
     history = [error]
     iter_times = []
     phase_of_iter = []
@@ -700,13 +967,19 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
         if phases[pdt] is None:
             phases[pdt] = make_phase(pdt)
         linearize_fn, try_step = phases[pdt]
-        A_cam, A_pt, b = linearize_fn(cams, pts)
+        _t = _time.time()
+        A_cam, A_pt, b = linearize_fn(cams, pts, obs_cam_ch, obs_pt_ch, uv_ch)
+        if _dbg:
+            jax.block_until_ready(b)
+            _tlog(f"it{it} linearize[{jnp.dtype(pdt)}]", _t)
         prev = error
         accepted = False
         while True:
-            nc, npts, ne = try_step(cams, pts, A_cam, A_pt, b, lam,
+            _t = _time.time()
+            nc, npts, ne = try_step(cams, pts, A_cam, A_pt, b, lam, ops,
                                     params.diagonal_damping)
             ne = float(ne)
+            _tlog(f"it{it} try_step(lam={lam:.1e})", _t)
             if math.isfinite(ne) and ne < error:
                 cams, pts, error = nc, npts, ne
                 lam = max(lam / params.lambda_factor, params.lambda_lower_bound)
@@ -721,6 +994,9 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
             print(f"BA iter {it} [{jnp.dtype(pdt)}]: {prev:.6g} -> {error:.6g} "
                   f"lambda={lam:.3g} ({iter_times[-1]:.2f}s)", flush=True)
         history.append(error)
+        if target_error is not None and error <= target_error:
+            converged = True
+            break
         if pdt == dt and hi != dt and (
                 not accepted or (prev - error) < switch_tol * prev):
             pdt = hi
