@@ -492,7 +492,8 @@ def make_fused_lm(graph: FactorGraph, initial: Values,
             return (it + 1, new_arrays, new_error, lam_out,
                     ~accepted | converged, accepted & converged, hist)
 
-        hist0 = jnp.full((maxit + 1,), jnp.nan, dtype=dt).at[0].set(error0)
+        hist0 = jnp.full((maxit + 1,), jnp.nan,
+                         dtype=dt).at[0].set(error0.astype(dt))
         st = (jnp.asarray(0), arrays0, error0,
               jnp.asarray(params.lambda_initial, dtype=dt),
               jnp.asarray(False), jnp.asarray(False), hist0)

@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..graph import factors as factors_mod
 from ..graph.values import Values
@@ -151,12 +151,6 @@ def make_sharded_pose_solver(mesh: Mesh, st: ShardedPoseGraphStructure,
 
     # per-device factor shards, padded: build one stacked (ndev, F_max) row set
     # by slicing the graph's batches host-side
-    bound = graph.bind(values)
-
-    def global_system(arrays):
-        H, g = bound.gn_system(arrays)
-        return H, g
-
     nI = ni_max * dim
     colmap_j = jnp.asarray(colmap)
     colmask_j = jnp.asarray(colmask)
@@ -168,30 +162,39 @@ def make_sharded_pose_solver(mesh: Mesh, st: ShardedPoseGraphStructure,
         gl = jnp.where(cmask, g[cmap], 0.0)
         return Hl, gl
 
-    def solve(arrays, lam):
-        """One damped GN step; host-side wrapper shards the column maps."""
-        H, g = global_system(arrays)
-        # per-device contribution — each device owns its factor shard's rows;
-        # here we form the full H once (exactness oracle) and split columns.
-        # The distributed path proper is exercised via shard_map below.
-        raise NotImplementedError
-
     # --- the real distributed path -----------------------------------------
     # Each device gets its OWN factor subgraph's (H_d, g_d) restricted to its
     # local columns; separator blocks psum across the mesh.
+    # Ownership is derived from each batch's key table directly (NOT from
+    # st.factor_shard, whose rows index the edge list passed to build() and
+    # would be misaligned once the graph also holds priors etc.): a factor
+    # goes to the unique device owning one of its interior keys;
+    # separator-only factors round-robin (their blocks psum regardless).
+    owner = np.full(len(layout.offsets[tname]), -1, dtype=np.int32)
+    for d, block in enumerate(st.interior):
+        owner[block] = d
     sub_bounds = []
+    sel_per_dev = [[] for _ in range(ndev)]   # per device: [(batch_idx, rows)]
+    rr = 0
+    for bi, b in enumerate(graph.batches):
+        dev_rows: List[List[int]] = [[] for _ in range(ndev)]
+        for i in range(b.num_factors):
+            d = -1
+            for k in b.keys[i]:
+                if owner[int(k)] >= 0:
+                    d = int(owner[int(k)])
+                    break
+            if d < 0:
+                d = rr % ndev
+                rr += 1
+            dev_rows[d].append(i)
+        for d in range(ndev):
+            if dev_rows[d]:
+                sel_per_dev[d].append((bi, np.asarray(dev_rows[d])))
+    from ..graph.graph import FactorGraph
     for d in range(ndev):
-        rows = st.factor_shard[d]
-        rowset = set(rows.tolist())
-        batches = []
-        start = 0
-        for b in graph.batches:
-            n = b.num_factors
-            sel = [i for i in range(n) if (start + i) in rowset]
-            if sel:
-                batches.append(factors_mod.slice_batch(b, np.asarray(sel)))
-            start += n
-        from ..graph.graph import FactorGraph
+        batches = [factors_mod.slice_batch(graph.batches[bi], rows)
+                   for bi, rows in sel_per_dev[d]]
         sub_bounds.append(FactorGraph(batches).bind(values))
 
     def sharded_solve(arrays, lam):
