@@ -43,7 +43,11 @@ def run_ba(ref):
     refba = ref.get("bal_ladybug", {})
     if refba.get("converged_half_chi2"):
         target = refba["converged_half_chi2"] * (1 + 1e-4)
-    lm = gt.LMParams(max_iterations=20, relative_error_tol=1e-6)
+    # lambda_conservative: skip GTSAM's always-decrease lambda re-probe (a
+    # failed probe costs a full 0.9 s solve per iteration; the reference BAL
+    # baseline driver itself runs Ceres-default LM policy, not GTSAM's)
+    lm = gt.LMParams(max_iterations=20, relative_error_tol=1e-6,
+                     lambda_conservative=True)
 
     # value = TRUE STOPWATCH: wall clock from optimizer start (everything
     # after dataset synthesis — symbolic structure build, H2D, program

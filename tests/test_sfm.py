@@ -185,3 +185,76 @@ class TestGraftEntry:
     def test_multichip(self):
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
+
+
+class TestTwoFloatSchur:
+    def test_df_schur_matches_f64_oracle(self):
+        """The two-float mixed-precision Schur path must solve the EXACT
+        damped Gram system of the f32 Jacobians (the property the retired
+        emulated-f64 chain provided).  Oracle: dense f64 block solve built
+        from the same f32 A entries."""
+        prob = synthetic.make_bal_problem(num_cameras=8, num_points=80,
+                                          obs_per_point=3, seed=3)
+        M, N = prob.num_cameras, prob.num_points
+        st, order = ba.SchurStructure.build(prob.obs_cam, prob.obs_pt,
+                                            M, N)
+        K = prob.num_observations
+        uv = jnp.asarray(prob.obs_uv[order], dtype=jnp.float64)
+        batch = factors_mod.custom_factors(
+            "Proj", ("BalCamera", "Point3"), np.zeros((K, 2)),
+            bal._projection_residual, 2, uv, noise_mod.unit())
+        cams = BalCamera(
+            SE3(jnp.asarray(prob.cam_R, dtype=jnp.float64),
+                jnp.asarray(prob.cam_t, dtype=jnp.float64)),
+            jnp.asarray(prob.cam_calib, dtype=jnp.float64))
+        pts = jnp.asarray(prob.points, dtype=jnp.float64)
+        cam_k = jax.tree.map(lambda a: a[jnp.asarray(st.obs_cam)], cams)
+        pt_k = pts[jnp.asarray(st.obs_pt)]
+        (A_cam, A_pt), b = factors_mod.linearize(
+            batch, (cam_k, pt_k), out_dtype=jnp.float32,
+            b_dtype=jnp.float64)
+        lam = 1e-3
+        dc, dl = ba._schur_solve_df(st, A_cam, A_pt, b, lam)
+
+        # dense f64 oracle from the same f32 Jacobian entries
+        Ac = np.asarray(A_cam, dtype=np.float64)     # (K,2,9)
+        Ap = np.asarray(A_pt, dtype=np.float64)      # (K,2,3)
+        bb = np.asarray(b, dtype=np.float64)         # (K,2)
+        D = 9 * M + 3 * N
+        H = np.zeros((D, D))
+        g = np.zeros(D)
+        for k in range(K):
+            ci = int(st.obs_cam[k])
+            pi = int(st.obs_pt[k])
+            J = np.zeros((2, D))
+            J[:, 9 * ci:9 * ci + 9] = Ac[k]
+            J[:, 9 * M + 3 * pi:9 * M + 3 * pi + 3] = Ap[k]
+            H += J.T @ J
+            g += J.T @ bb[k]
+        H += lam * np.eye(D)
+        sol = np.linalg.solve(H, g)
+        dc_ref = sol[:9 * M].reshape(M, 9)
+        dl_ref = sol[9 * M:].reshape(N, 3)
+        # accuracy floor is conditioning-amplified (the factorization operand
+        # S is assembled f32 and the landmark blocks are damped to lam):
+        # measured on this fixture, df32 reaches dc 5.5e-5 / dl 8e-4 relative
+        # where the retired f64-chain-with-direct-solve gave 7e-4 / 1e-2
+        scale_c = np.abs(dc_ref).max()
+        scale_l = np.abs(dl_ref).max()
+        np.testing.assert_allclose(np.asarray(dc), dc_ref,
+                                   atol=2e-4 * scale_c)
+        np.testing.assert_allclose(np.asarray(dl), dl_ref,
+                                   atol=3e-3 * scale_l)
+
+    def test_ba_optimize_mixed_converges(self):
+        """End-to-end mixed-precision BA on a small synthetic problem reaches
+        the plain-f64 optimum."""
+        prob = synthetic.make_bal_problem(num_cameras=12, num_points=150,
+                                          obs_per_point=3, seed=4)
+        _, info64 = ba.ba_optimize(prob, gt.LMParams(max_iterations=15),
+                                   dtype=jnp.float64)
+        _, info_mx = ba.ba_optimize(prob, gt.LMParams(max_iterations=15),
+                                    dtype=jnp.float32, mixed_precision=True)
+        e64 = float(info64["error"])
+        emx = float(info_mx["error"])
+        assert emx <= e64 * (1 + 1e-4), (emx, e64)
