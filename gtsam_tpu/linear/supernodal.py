@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from ..config import default_dtype as _default_dtype
 import numpy as np
 
+from ..base import reductions
+from ..base import twofloat as tf
 from ..graph import manifolds
 from ..graph.graph import BoundGraph
 from ..inference import ordering as ordering_mod
@@ -297,6 +299,22 @@ class SupernodalCholeskySolver:
         co, cseg, cuniq = _sorted_segments(bc[offd])
         self._mv_plan = (ro, rseg, runiq, offd, offd[co], cseg, cuniq)
 
+        # pow2-padded plans for the TWO-FLOAT refinement matvec (compensated
+        # segment sums can't ride jax.ops.segment_sum; see base/reductions)
+        def _runs(order, seg, uniq, nrows):
+            counts = np.bincount(seg) if len(seg) else np.zeros(0, np.int64)
+            first = np.concatenate([[0], np.cumsum(counts)[:-1]]) \
+                if len(counts) else np.zeros(0, np.int64)
+            pad_idx, buckets, run_order = reductions.pow2_pad_plan(
+                order, first, counts, sentinel=nrows)
+            # the reduce emits runs in run_order; permute the target ids
+            return pad_idx, buckets, uniq[run_order]
+
+        r_pad, r_buckets, r_ids = _runs(ro, rseg, runiq, len(br))
+        c_pad, c_buckets, c_ids = _runs(np.arange(len(co), dtype=np.int32),
+                                        cseg, cuniq, len(co))
+        self._mv_df_plan = (r_pad, r_buckets, r_ids, c_pad, c_buckets, c_ids)
+
     # -- system assembly (jit-safe) -----------------------------------------
 
     def system(self, arrays):
@@ -449,6 +467,71 @@ class SupernodalCholeskySolver:
             y = y.at[cuniq].add(s2)
         damp = self._damp_vec(blocks, lam, diagonal_damping).astype(dt)
         return y + damp * x
+
+    def matvec_df(self, blocks, x, lam=0.0, diagonal_damping: bool = False):
+        """(H + damping) x with two-float accuracy.  x is a (hi, lo) pair of
+        (n, d) f32 arrays in PERMUTED layout; returns a pair.
+
+        Products of stored f32 blocks with x.hi are exact (Dekker
+        two-product) and all accumulation is compensated — the residual
+        r = g - H x keeps ~48 significant bits without any emulated f64
+        (which costs 10-30x on the TPU VPU and bloats the program)."""
+        sym = self.sym
+        xh, xl = x
+        ro, rseg, runiq, offd, coi, cseg, cuniq = self._mv_plan
+        r_pad, r_buckets, r_ids, c_pad, c_buckets, c_ids = self._mv_df_plan
+        d = self.d
+        Bv = blocks[:self.B]
+        xkh = xh[sym.block_col]
+        xkl = xl[sym.block_col]
+
+        def bdot(Bm, vh, vl, transpose=False):
+            # t[b, i] = sum_j Bm[b, i, j] * v[b, j]  (or B^T when transpose)
+            acc = None
+            for j in range(d):
+                col = Bm[:, j, :] if transpose else Bm[:, :, j]
+                t = tf.mul_f(vh[:, j, None], vl[:, j, None], col)
+                acc = t if acc is None else tf.add(*acc, *t)
+            return acc
+
+        t1 = bdot(Bv, xkh, xkl)                                # (B, d) pair
+        yh, yl = reductions.padded_reduce_df(
+            t1, r_pad, r_buckets, self.nvars, r_ids)
+        if len(offd):
+            Bo = blocks[coi]
+            xrh = xh[sym.block_row[coi]]
+            xrl = xl[sym.block_row[coi]]
+            t2 = bdot(Bo, xrh, xrl, transpose=True)
+            y2h, y2l = reductions.padded_reduce_df(
+                t2, c_pad, c_buckets, self.nvars, c_ids)
+            yh, yl = tf.add(yh, yl, y2h, y2l)
+        damp = self._damp_vec(blocks, lam, diagonal_damping)
+        dx = tf.mul_f(xh, xl, damp)
+        return tf.add(yh, yl, *dx)
+
+    def solve_refined_df(self, blocks, g, lam=0.0,
+                         diagonal_damping: bool = False,
+                         refine_iters: int = 2):
+        """f32 factorization + TWO-FLOAT iterative refinement.
+
+        The TPU-native version of solve_refined: same math, but the residual
+        chain runs on (hi, lo) f32 pairs instead of emulated f64 — native
+        VPU speed and a compact program.  Restores the f64-trajectory LM
+        step quality that lets sphere2500-class problems converge in the
+        reference's ~4-5 iterations instead of ~8 (round-4 measurement)."""
+        factored = self.factorize(blocks, lam, diagonal_damping)
+        x = self._solve_padded(factored, g)
+        if refine_iters:
+            g_pair = (g, jnp.zeros_like(g)) if g.dtype == x.dtype \
+                else tf.from_f64(g)
+            xp = (x, jnp.zeros_like(x))
+            for _ in range(refine_iters):
+                mv = self.matvec_df(blocks, xp, lam, diagonal_damping)
+                rh, rl = tf.sub(g_pair[0], g_pair[1], mv[0], mv[1])
+                corr = self._solve_padded(factored, rh + rl)
+                xp = tf.add(*xp, corr, jnp.zeros_like(corr))
+            x = tf.to_f32(*xp)
+        return self._flatten(x)
 
     def solve_refined(self, blocks, g, lam=0.0,
                       diagonal_damping: bool = False, refine_iters: int = 2):

@@ -43,11 +43,19 @@ class LMParams(OptimizerParams):
     diagonal_damping: bool = False
     min_diagonal: float = 1e-6   # LevenbergMarquardtOptimizer.cpp damping clamps
     max_diagonal: float = 1e32
-    # decrease lambda only when the iteration's FIRST try succeeded (skips
-    # GTSAM's always-decrease re-probe, which repays one full solve per
-    # iteration when the smaller lambda keeps failing — measured 0.9 s/iter
-    # on Ladybug-1723).  Default False = reference semantics.
-    lambda_conservative: bool = False
+    # lambda schedule policy:
+    #   "gtsam"        — always decrease on accept (LevenbergMarquardt
+    #                    Optimizer.cpp semantics); re-probes a failed lambda
+    #                    every iteration (one wasted solve each).
+    #   "conservative" — decrease only on a clean first-try accept and never
+    #                    probe a lambda that already failed.  Cheapest tries,
+    #                    but can lock lambda high and crawl near convergence.
+    #   "gain"         — Nielsen/Ceres gain-ratio: lambda *= max(1/3,
+    #                    1-(2*rho-1)^3) on accept (rho = actual/predicted
+    #                    decrease), *= nu doubling on reject.  Smooth decay,
+    #                    no probe retries; the policy the reference's BAL
+    #                    baseline driver (Ceres defaults) runs.
+    lambda_policy: str = "gtsam"
 
 
 @dataclasses.dataclass
@@ -128,6 +136,17 @@ class DenseSolver:
             return _kkt_solve(H, g, C, c, lam, diagonal_damping)
         H, g = system
         return _dense_solve(H, g, lam, diagonal_damping)
+
+    def predicted_decrease(self, system, dx, lam, diagonal_damping):
+        """Linear-model decrease L(0)-L(dx) = 0.5*(dx'g + lam*dx'D dx) of
+        the damped GN model (the gain-ratio denominator;
+        LevenbergMarquardtOptimizer.cpp:168 linearizedCostChange analog)."""
+        H, g = system[0], system[1]
+        if diagonal_damping:
+            d = jnp.clip(jnp.diagonal(H), 1e-6, 1e32)
+        else:
+            d = 1.0
+        return 0.5 * (jnp.dot(dx, g) + lam * jnp.sum(d * dx * dx))
 
 
 class DenseQRSolver:
@@ -253,10 +272,12 @@ class SparseSolver:
 
     def __init__(self, order: str = "auto", method: str = "supernodal",
                  constraint_weight: Optional[float] = None,
-                 refine_iters: Optional[int] = None):
+                 refine_iters: Optional[int] = None,
+                 supernodal_kwargs: Optional[dict] = None):
         self._order = order
         self._method = method
         self._cweight = constraint_weight
+        self._sn_kwargs = supernodal_kwargs or {}
         # f64-refined steps are available (solve_refined) but default OFF:
         # with the hi-precision residual policy the f32 factorization's step
         # quality already sustains LM accepts (measured on sphere2500), and
@@ -279,7 +300,8 @@ class SparseSolver:
             bound = _soften_constraints(bound, w)
         if self._method == "supernodal":
             from ..linear.supernodal import SupernodalCholeskySolver
-            self._s = SupernodalCholeskySolver(bound, order=self._order)
+            self._s = SupernodalCholeskySolver(bound, order=self._order,
+                                               **self._sn_kwargs)
         else:
             from ..linear.sparse import SparseCholeskySolver
             self._s = SparseCholeskySolver(bound, order=self._order)
@@ -298,8 +320,11 @@ class SparseSolver:
         blocks, g = system
         if self._method == "supernodal":
             if self._refine:
-                return self._s.solve_refined(blocks, g, lam,
-                                             diagonal_damping, self._refine)
+                # two-float refinement (native f32 VPU EFTs) — the emulated
+                # f64 variant (solve_refined) survives for cross-checks
+                return self._s.solve_refined_df(blocks, g, lam,
+                                                diagonal_damping,
+                                                self._refine)
             factored = self._s.factorize(blocks, lam, diagonal_damping)
         else:
             # per-variable path: lam*I damping only
@@ -328,6 +353,17 @@ class SparseSolver:
             dx = self._s.solve_factored(factored, rhs)
             nu = nu + w2 * (c - C @ dx)
         return dx
+
+    def predicted_decrease(self, system, dx, lam, diagonal_damping):
+        """Linear-model decrease 0.5*(dx'g + lam*dx'D dx) (gain-ratio
+        denominator) on the block-sparse store."""
+        if self._method != "supernodal":
+            raise NotImplementedError(
+                "gain-ratio lambda policy needs the supernodal solver")
+        blocks, g = system[0], system[1]
+        xp = self._s.pack_rhs(dx)
+        damp = self._s._damp_vec(blocks, lam, diagonal_damping)
+        return 0.5 * (jnp.sum(xp * g) + jnp.sum(damp * xp * xp))
 
     def check_system(self, arrays, lam=0.0):
         """Raise IndeterminantLinearSystemError on bad pivots (supernodal)."""
@@ -456,49 +492,82 @@ def make_fused_lm(graph: FactorGraph, initial: Values,
     def lm_outer(arrays0):
         error0 = bound.error(arrays0)
 
+        use_gain = params.lambda_policy == "gain"
+        conservative = params.lambda_policy == "conservative"
+
         def outer_cond(st):
-            it, _, _, _, _, done, _, _ = st
+            it, _, _, _, _, _, done, _, _ = st
             return (it < maxit) & ~done
 
         def outer_body(st):
-            it, arrays, error, lam, ceil, _, _, hist = st
+            it, arrays, error, lam, ceil, nu, _, _, hist = st
             system = solver.system(arrays)
 
             def try_cond(ts):
-                lam_t, accepted, _, _, _ = ts
+                lam_t, accepted = ts[0], ts[1]
                 return ~accepted & (lam_t <= params.lambda_upper_bound)
 
             def try_body(ts):
-                lam_t, _, _, _, ceil_t = ts
+                lam_t, _, _, _, ceil_t, nu_t, _ = ts
                 dx = solver.solve(system, lam_t, params.diagonal_damping)
                 new_arrays = retract_arrays(arrays, dx, layout)
                 ne = bound.error(new_arrays)
                 ok = jnp.isfinite(ne) & (ne < error)
-                lam_next = jnp.where(ok, lam_t, lam_t * params.lambda_factor)
+                if use_gain:
+                    pred = solver.predicted_decrease(
+                        system, dx, lam_t, params.diagonal_damping)
+                    rho = ((error - ne).astype(dt)
+                           / jnp.maximum(pred.astype(dt), 1e-30))
+                else:
+                    rho = jnp.asarray(0.0, dtype=dt)
+                # gain mode climbs by lambda_factor on the iteration's first
+                # reject (fast escape from a too-low lambda), then Nielsen
+                # nu-doubling takes over
+                fac = (jnp.maximum(nu_t, params.lambda_factor)
+                       if use_gain else params.lambda_factor)
+                lam_next = jnp.where(ok, lam_t, lam_t * fac)
+                nu_next = jnp.where(ok, nu_t, 2.0 * nu_t)
                 ceil_next = jnp.where(ok, ceil_t, jnp.maximum(ceil_t, lam_t))
                 keep = lambda a, b: jax.tree.map(
                     lambda x, y: jnp.where(ok, x, y), a, b)
                 return (lam_next, ok, keep(new_arrays, arrays),
-                        jnp.where(ok, ne, error), ceil_next)
+                        jnp.where(ok, ne, error), ceil_next, nu_next,
+                        jnp.where(ok, rho, 0.0))
 
-            lam_f, accepted, new_arrays, new_error, ceil = lax.while_loop(
+            (lam_f, accepted, new_arrays, new_error, ceil, nu,
+             rho) = lax.while_loop(
                 try_cond, try_body,
-                (lam, jnp.asarray(False), arrays, error, ceil))
-            nxt = jnp.maximum(lam_f / params.lambda_factor,
-                              params.lambda_lower_bound)
-            # conservative policy: decrease only on a clean first-try accept
-            # and never probe a lambda that already failed (the ceiling) —
-            # each failed probe costs a full factorize+solve
-            dec_ok = (accepted & (lam_f == lam) & (nxt > ceil)) if \
-                params.lambda_conservative else accepted
-            lam_out = jnp.where(dec_ok, nxt, lam_f)
+                (lam, jnp.asarray(False), arrays, error, ceil, nu,
+                 jnp.asarray(0.0, dtype=dt)))
+            if use_gain:
+                # Nielsen update: lam *= max(1/3, 1-(2*rho-1)^3) on accept.
+                # (A deeper floor was tried and measured WORSE on sphere2500:
+                # very-low-lambda steps expose the f32 assembly noise in the
+                # gradient and the tail decrements crawl.)
+                t = 2.0 * rho - 1.0
+                dec = jnp.maximum(jnp.asarray(1.0 / 3.0, dt), 1.0 - t * t * t)
+                lam_out = jnp.where(
+                    accepted,
+                    jnp.maximum(lam_f * dec, params.lambda_lower_bound),
+                    lam_f)
+                nu_out = jnp.where(accepted, jnp.asarray(2.0, dt), nu)
+            else:
+                nxt = jnp.maximum(lam_f / params.lambda_factor,
+                                  params.lambda_lower_bound)
+                # conservative: decrease only on a clean first-try accept and
+                # never probe a lambda that already failed (the ceiling) —
+                # each failed probe costs a full factorize+solve
+                dec_ok = (accepted & (lam_f == lam) & (nxt > ceil)) if \
+                    conservative else accepted
+                lam_out = jnp.where(dec_ok, nxt, lam_f)
+                nu_out = nu
             delta = jnp.abs(error - new_error)
             converged = ((new_error <= params.error_tol)
                          | (delta <= params.absolute_error_tol)
                          | (delta <= params.relative_error_tol
                             * jnp.maximum(error, 1e-300)))
             hist = hist.at[it + 1].set(new_error.astype(hist.dtype))
-            return (it + 1, new_arrays, new_error, lam_out, ceil,
+            return (it + 1, new_arrays, new_error, lam_out, ceil, nu_out,
                     ~accepted | converged, accepted & converged, hist)
 
         hist0 = jnp.full((maxit + 1,), jnp.nan,
@@ -506,8 +575,9 @@ def make_fused_lm(graph: FactorGraph, initial: Values,
         st = (jnp.asarray(0), arrays0, error0,
               jnp.asarray(params.lambda_initial, dtype=dt),
               jnp.asarray(0.0, dtype=dt),
+              jnp.asarray(2.0, dtype=dt),
               jnp.asarray(False), jnp.asarray(False), hist0)
-        it, arrays, error, _, _, _, conv, hist = lax.while_loop(
+        it, arrays, error, _, _, _, _, conv, hist = lax.while_loop(
             outer_cond, outer_body, st)
         return it, arrays, error, conv, hist
 

@@ -21,6 +21,7 @@ from ..config import default_dtype as _default_dtype
 import numpy as np
 
 from ..base import noise as noise_mod
+from ..base import reductions
 from ..base import twofloat as tf
 from ..geometry.cameras import BalCamera, bal_retract
 from ..geometry.se3 import SE3
@@ -264,52 +265,10 @@ def _length_group_plan(first, counts):
     return row_order, gorder, groups, tail
 
 
-def _pow2_pad_plan(row_order, first, counts, sentinel):
-    """Pad each sorted run to the next power of two and bucket runs by padded
-    length.  Returns (pad_idx, buckets, run_order): pad_idx (R,) indexes the
-    original rows (== sentinel for padding slots, which must map to a zero
-    row); buckets = ((pos0, n_runs, P), ...) contiguous in pad_idx; run_order
-    permutes the input runs into bucket order.  This turns an arbitrary
-    segmented reduction into <= log2(maxlen) dense reshape-reduces at <= 2x
-    row inflation — no scatter, no serialization (TPU scatters with duplicate
-    indices process rows serially)."""
-    pows = np.maximum(1, 1 << np.ceil(np.log2(np.maximum(counts, 1))
-                                      ).astype(np.int64))
-    run_order = np.argsort(pows, kind="stable")
-    pad_idx_parts, buckets = [], []
-    pos = 0
-    i = 0
-    nruns = len(counts)
-    while i < nruns:
-        P = int(pows[run_order[i]])
-        j = int(np.searchsorted(pows[run_order], P, side="right"))
-        runs = run_order[i:j]
-        block = np.full((len(runs), P), sentinel, dtype=np.int32)
-        for r, run in enumerate(runs):
-            c = int(counts[run])
-            f = int(first[run])
-            block[r, :c] = row_order[f:f + c]
-        pad_idx_parts.append(block.reshape(-1))
-        buckets.append((pos, len(runs), P))
-        pos += len(runs) * P
-        i = j
-    pad_idx = (np.concatenate(pad_idx_parts).astype(np.int32)
-               if pad_idx_parts else np.zeros(0, np.int32))
-    return pad_idx, buckets, run_order
-
-
-def _padded_reduce(rows, pad_idx, buckets, num_out, out_ids):
-    """Sum padded contiguous runs: rows (K, W) -> (num_out, W) scattered to
-    out_ids (unique).  pad_idx slots == K gather an appended zero row."""
-    W = rows.shape[1]
-    ext = jnp.concatenate([rows, jnp.zeros((1, W), dtype=rows.dtype)])
-    g = ext[jnp.asarray(pad_idx)]
-    outs = [g[p0:p0 + n * P].reshape(n, P, W).sum(1) for (p0, n, P) in buckets]
-    if not outs:
-        return jnp.zeros((num_out, W), dtype=rows.dtype)
-    red = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
-    return jnp.zeros((num_out, W), dtype=rows.dtype).at[
-        jnp.asarray(out_ids)].set(red)
+# pow2-padded contiguous reductions live in base/reductions.py (shared with
+# the supernodal refinement matvec); keep the private names for this module
+_pow2_pad_plan = reductions.pow2_pad_plan
+_padded_reduce = reductions.padded_reduce
 
 
 def _grouped_reduce(rows, groups, tail, tail_seg=None):
@@ -342,7 +301,14 @@ def _pad_rows(a, n_to):
 _ROW_CHUNK = 1 << 15
 
 
-def _row_chunked(f, args, chunk=_ROW_CHUNK):
+def _row_chunk_size():
+    """Row-chunk length for lax.map bodies (env-overridable so tests can
+    exercise the padded multi-chunk path at small K)."""
+    import os as _os
+    return int(_os.environ.get("GTSAM_TPU_ROW_CHUNK", _ROW_CHUNK))
+
+
+def _row_chunked(f, args, chunk=None, pad_out=False):
     """Apply `f` to row-chunks of `args` via lax.map; concat the outputs.
 
     Why: XLA's TPU backend UNROLLS flat-lane relayout ops (static lane
@@ -351,19 +317,62 @@ def _row_chunked(f, args, chunk=_ROW_CHUNK):
     Emitting the op once inside a lax.map body bounds the program to one
     chunk's worth of code while keeping HBM traffic identical.  All of
     schur_solve's per-row lane algebra goes through here.
+
+    pad_out=True returns the FULL padded (nch*chunk, ...) outputs with the
+    pad tail zeroed instead of slicing [:K]: the unaligned [:K] slice forces
+    a row-misaligned relayout into every consumer (~4x executable-size
+    inflation per consumer, measured round 4).  Callers must only reference
+    rows < K (plan indices already do).
     """
+    chunk = chunk or _row_chunk_size()
     K = args[0].shape[0]
     nch = -(-K // chunk)
     if nch <= 1:
         out = f(*args)
         return out if isinstance(out, tuple) else (out,)
     kp = nch * chunk
-    padded = tuple(
-        _pad_rows(a, kp).reshape((nch, chunk) + a.shape[1:]) for a in args)
-    outs = jax.lax.map(lambda xs: f(*xs), padded)
-    if not isinstance(outs, tuple):
-        outs = (outs,)
-    return tuple(o.reshape((kp,) + o.shape[2:])[:K] for o in outs)
+    padded = tuple(_pad_rows(a, kp) for a in args)
+
+    # fori_loop + aligned dynamic slices into FLAT 2-D carries, NOT lax.map:
+    # map stacks chunk outputs into (nch, chunk, W) while-carries whose
+    # XLA-chosen layouts force row-proportional unrolled relayouts into
+    # every consumer (measured round 4: ~4x executable inflation per
+    # consumer; the full Schur step compiled to 300 MB).  Flat row-major
+    # carries written at chunk-aligned offsets keep everything natural.
+    probe = jax.eval_shape(f, *(jax.ShapeDtypeStruct((chunk,) + a.shape[1:],
+                                                     a.dtype)
+                                for a in args))
+    single = not isinstance(probe, tuple)
+    if single:
+        probe = (probe,)
+    outs0 = tuple(jnp.zeros((kp,) + p.shape[1:], dtype=p.dtype)
+                  for p in probe)
+
+    def body(i, outs):
+        o = i * chunk
+        chunk_args = tuple(
+            jax.lax.dynamic_slice(a, (o,) + (0,) * (a.ndim - 1),
+                                  (chunk,) + a.shape[1:]) for a in padded)
+        res = f(*chunk_args)
+        if not isinstance(res, tuple):
+            res = (res,)
+        return tuple(
+            jax.lax.dynamic_update_slice(dst, r,
+                                         (o,) + (0,) * (r.ndim - 1))
+            for dst, r in zip(outs, res))
+
+    outs = jax.lax.fori_loop(0, nch, body, outs0)
+    if not pad_out:
+        return tuple(o[:K] for o in outs)
+    if kp == K:
+        return outs
+
+    def zero_tail(o):
+        z = jnp.zeros((kp - K,) + o.shape[1:], dtype=o.dtype)
+        return jax.lax.dynamic_update_slice(
+            o, z, (K,) + (0,) * (o.ndim - 1))
+
+    return tuple(zero_tail(o) for o in outs)
 
 
 def _flat_mm(X, Y, p, q, r):
@@ -602,15 +611,16 @@ def _grouped_reduce_df(pair, groups, tail, tail_seg=None):
     W = h.shape[1]
     outs_h, outs_l = [], []
     for (r0, n, ln) in groups:
-        rh, rl = tf.sum_axis(h[r0:r0 + n * ln].reshape(n, ln, W),
-                             l[r0:r0 + n * ln].reshape(n, ln, W), 1)
+        rh, rl = reductions.window_sum_df(h[r0:r0 + n * ln],
+                                          l[r0:r0 + n * ln], ln)
         outs_h.append(rh)
         outs_l.append(rl)
     if tail is not None:
         t0, seg_ids, nseg = tail
         seg = tail_seg if tail_seg is not None else jnp.asarray(seg_ids)
-        outs_h.append(jax.ops.segment_sum(h[t0:], seg, nseg))
-        outs_l.append(jax.ops.segment_sum(l[t0:], seg, nseg))
+        L = len(seg_ids)   # rows may carry a zeroed pad tail beyond the runs
+        outs_h.append(jax.ops.segment_sum(h[t0:t0 + L], seg, nseg))
+        outs_l.append(jax.ops.segment_sum(l[t0:t0 + L], seg, nseg))
     if not outs_h:
         z = jnp.zeros((0, W), dtype=h.dtype)
         return z, z
@@ -619,28 +629,7 @@ def _grouped_reduce_df(pair, groups, tail, tail_seg=None):
     return jnp.concatenate(outs_h), jnp.concatenate(outs_l)
 
 
-def _padded_reduce_df(pair, pad_idx, buckets, num_out, out_ids):
-    """Two-float _padded_reduce (pow2-padded contiguous bucket reduce)."""
-    h, l = pair
-    W = h.shape[1]
-    idx = jnp.asarray(pad_idx)
-    ext_h = jnp.concatenate([h, jnp.zeros((1, W), dtype=h.dtype)])[idx]
-    ext_l = jnp.concatenate([l, jnp.zeros((1, W), dtype=l.dtype)])[idx]
-    outs_h, outs_l = [], []
-    for (p0, n, P) in buckets:
-        rh, rl = tf.sum_axis(ext_h[p0:p0 + n * P].reshape(n, P, W),
-                             ext_l[p0:p0 + n * P].reshape(n, P, W), 1)
-        outs_h.append(rh)
-        outs_l.append(rl)
-    if not outs_h:
-        z = jnp.zeros((num_out, W), dtype=h.dtype)
-        return z, z
-    red_h = jnp.concatenate(outs_h) if len(outs_h) > 1 else outs_h[0]
-    red_l = jnp.concatenate(outs_l) if len(outs_l) > 1 else outs_l[0]
-    ids = jnp.asarray(out_ids)
-    zh = jnp.zeros((num_out, W), dtype=h.dtype).at[ids].set(red_h)
-    zl = jnp.zeros((num_out, W), dtype=l.dtype).at[ids].set(red_l)
-    return zh, zl
+_padded_reduce_df = reductions.padded_reduce_df
 
 
 def _lane_rep(a, k):
@@ -828,14 +817,32 @@ def _schur_solve_df(st: SchurStructure, A_cam, A_pt, b, lam,
         Wc = prods(_lane_rep(ac, 3), _lane_tile(ap, 9))        # (c, 27)
         return (*hll, *glc, *hpp, *gpc, *Wc)
 
+    # pad_out: all per-observation arrays keep the chunk-padded row count
+    # (zeroed tail) — the unaligned [:K] slice otherwise forces a
+    # row-misaligned relayout into every consumer (~4x executable size per
+    # consumer, measured round 4).  All plan indices reference rows < K.
     (hll_h, hll_l, gl_h, gl_l, hpp_h, hpp_l, gp_h, gp_l,
-     W_h, W_l) = _row_chunked(obs_prods, (A_cam, A_pt, b_h, b_l))
+     W_h, W_l) = _row_chunked(obs_prods, (A_cam, A_pt, b_h, b_l),
+                              pad_out=True)
+    Kr = hll_h.shape[0]
+    Ko = len(st.obs_cam)
+    if Kr != Ko:
+        zpad = jnp.zeros(Kr - Ko, dtype=seg_cam.dtype)
+        seg_cam_x = jnp.concatenate([seg_cam, zpad])
+        obs_pt_new_x = jnp.concatenate(
+            [obs_pt_new, zpad.astype(obs_pt_new.dtype)])
+    else:
+        seg_cam_x, obs_pt_new_x = seg_cam, obs_pt_new
+    if _stage == "prods":
+        return hll_h, gl_h, hpp_h, gp_h, W_h
     Hll = _grouped_reduce_df((hll_h, hll_l), st.pt_groups, st.pt_tail,
                              pt_tail_seg)
     gl = _grouped_reduce_df((gl_h, gl_l), st.pt_groups, st.pt_tail,
                             pt_tail_seg)
     Hpp = cam_reduce_df((hpp_h, hpp_l))
     gp = cam_reduce_df((gp_h, gp_l))
+    if _stage == "gram":
+        return Hll[0], gl[0], Hpp[0], gp[0], W_h
 
     # damping magnitudes are policy, not precision: computed in f32
     if diagonal_damping:
@@ -852,10 +859,11 @@ def _schur_solve_df(st: SchurStructure, A_cam, A_pt, b, lam,
         return (*Cc, *Cgc)
 
     C_h, C_l, Cg_h, Cg_l = _row_chunked(
-        landmark_solve, (Hll[0], Hll[1], gl[0], gl[1], lam_eff))
+        landmark_solve, (Hll[0], Hll[1], gl[0], gl[1], lam_eff),
+        pad_out=True)
 
-    Cgk = (Cg_h[obs_pt_new], Cg_l[obs_pt_new])
-    Ck = (C_h[obs_pt_new], C_l[obs_pt_new])
+    Cgk = (Cg_h[obs_pt_new_x], Cg_l[obs_pt_new_x])
+    Ck = (C_h[obs_pt_new_x], C_l[obs_pt_new_x])
 
     def coupling(Wh, Wl, cgh, cgl, ch, cl):
         corr = _flat_mm_df((Wh, Wl), (cgh, cgl), 9, 3, 1)
@@ -863,8 +871,10 @@ def _schur_solve_df(st: SchurStructure, A_cam, A_pt, b, lam,
         return (*corr, *WCp)
 
     corr_h, corr_l, WC_h, WC_l = _row_chunked(
-        coupling, (W_h, W_l, Cgk[0], Cgk[1], Ck[0], Ck[1]))
+        coupling, (W_h, W_l, Cgk[0], Cgk[1], Ck[0], Ck[1]), pad_out=True)
     gp_t = tf.sub(gp[0], gp[1], *cam_reduce_df((corr_h, corr_l)))
+    if _stage == "coupling":
+        return gp_t[0], WC_h
 
     # reduced camera matrix pair products (see schur_solve for the layout
     # rationale; identical plan, two-float arithmetic)
@@ -899,7 +909,7 @@ def _schur_solve_df(st: SchurStructure, A_cam, A_pt, b, lam,
 
         out_h, out_l = _row_chunked(
             pair_prod, (wcp[0], wcp[1], wvp[0], wvp[1],
-                        ops["sym_swap"], ops["sym_diagp"]))
+                        ops["sym_swap"], ops["sym_diagp"]), pad_out=True)
         idx = ops["sym_pad_idx"]
         ext_h = jnp.concatenate(
             [out_h, jnp.zeros((1, 81), dtype=out_h.dtype)])[idx]
@@ -907,9 +917,8 @@ def _schur_solve_df(st: SchurStructure, A_cam, A_pt, b, lam,
             [out_l, jnp.zeros((1, 81), dtype=out_l.dtype)])[idx]
         rh_parts, rl_parts = [], []
         for (p0, nr, Pw) in st.sym_buckets:
-            rh, rl = tf.sum_axis(ext_h[p0:p0 + nr * Pw].reshape(nr, Pw, 81),
-                                 ext_l[p0:p0 + nr * Pw].reshape(nr, Pw, 81),
-                                 1)
+            rh, rl = reductions.window_sum_df(ext_h[p0:p0 + nr * Pw],
+                                              ext_l[p0:p0 + nr * Pw], Pw)
             rh_parts.append(rh)
             rl_parts.append(rl)
         red_h = (jnp.concatenate(rh_parts) if len(rh_parts) > 1
@@ -917,6 +926,8 @@ def _schur_solve_df(st: SchurStructure, A_cam, A_pt, b, lam,
         red_l = (jnp.concatenate(rl_parts) if len(rl_parts) > 1
                  else rl_parts[0])
         red32 = red_h + red_l
+        if _stage == "red":
+            return red32, gp_t[0]
         red_swap32 = red32[:, jnp.asarray(_T81)]
         cells_a, cells_b = ops["sym_ca"], ops["sym_cb"]
     else:
@@ -941,8 +952,8 @@ def _schur_solve_df(st: SchurStructure, A_cam, A_pt, b, lam,
                          W_h[pb_all], W_l[pb_all]))
         parts_h, parts_l = [], []
         for (p0, n, ln) in st.cell_groups:
-            rh, rl = tf.sum_axis(pr_h[p0:p0 + n * ln].reshape(n, ln, 81),
-                                 pr_l[p0:p0 + n * ln].reshape(n, ln, 81), 1)
+            rh, rl = reductions.window_sum_df(pr_h[p0:p0 + n * ln],
+                                              pr_l[p0:p0 + n * ln], ln)
             parts_h.append(rh)
             parts_l.append(rl)
         if st.cell_tail is not None:
@@ -979,17 +990,17 @@ def _schur_solve_df(st: SchurStructure, A_cam, A_pt, b, lam,
         Exact-Gram: reference analog RegularImplicitSchurFactor.h:272."""
         Xh = xp[0].reshape(9, M).T
         Xl = xp[1].reshape(9, M).T
-        xk = (Xh[seg_cam], Xl[seg_cam])
+        xk = (Xh[seg_cam_x], Xl[seg_cam_x])
         tk_h, tk_l = _row_chunked(
             lambda wh, wl, xh_, xl_: _wt27_prod_df((wh, wl), (xh_, xl_)),
-            (W_h, W_l, xk[0], xk[1]))
+            (W_h, W_l, xk[0], xk[1]), pad_out=True)
         u = _grouped_reduce_df((tk_h, tk_l), st.pt_groups, st.pt_tail,
                                pt_tail_seg)
-        uk = (u[0][obs_pt_new], u[1][obs_pt_new])
+        uk = (u[0][obs_pt_new_x], u[1][obs_pt_new_x])
         vk_h, vk_l = _row_chunked(
             lambda wch, wcl, uh, ul: _flat_mm_df((wch, wcl), (uh, ul),
                                                  9, 3, 1),
-            (WC_h, WC_l, uk[0], uk[1]))
+            (WC_h, WC_l, uk[0], uk[1]), pad_out=True)
         HX = _flat_mm_df(Hpp_d, (Xh, Xl), 9, 9, 1)
         y = tf.sub(HX[0], HX[1], *cam_reduce_df((vk_h, vk_l)))
         return (y[0].T.reshape(-1), y[1].T.reshape(-1))
@@ -1003,17 +1014,20 @@ def _schur_solve_df(st: SchurStructure, A_cam, A_pt, b, lam,
         jax.config.jax_enable_x64 else tf.to_f32(*dc_pair)
 
     # landmark back-substitution: dl = C (gl - W^T dc), two-float
-    dck = (dc_pair[0][seg_cam], dc_pair[1][seg_cam])
+    dck = (dc_pair[0][seg_cam_x], dc_pair[1][seg_cam_x])
     wt_h, wt_l = _row_chunked(
         lambda wh, wl, xh_, xl_: _wt27_prod_df((wh, wl), (xh_, xl_)),
-        (W_h, W_l, dck[0], dck[1]))
+        (W_h, W_l, dck[0], dck[1]), pad_out=True)
     wred = _grouped_reduce_df((wt_h, wt_l), st.pt_groups, st.pt_tail,
                               pt_tail_seg)
     rhs_l = tf.sub(gl[0], gl[1], wred[0], wred[1])
+    Nsr = C_h.shape[0]
     dl_h, dl_l = _row_chunked(
         lambda ch, cl, rh, rl: _flat_mm_df((ch, cl), (rh, rl), 3, 3, 1),
-        (C_h, C_l, rhs_l[0], rhs_l[1]))
-    dl_new = dl_h + dl_l
+        (C_h, C_l, _pad_rows(rhs_l[0], Nsr), _pad_rows(rhs_l[1], Nsr)),
+        pad_out=True)
+    Ns_ = len(st.obs_pt_new) and int(st.obs_pt_new[-1]) + 1
+    dl_new = (dl_h + dl_l)[:Ns_]
     dl = jnp.zeros((N, 3), dtype=dt)
     dl = dl.at[ops["point_perm_ns"]].set(dl_new)
     return dc, dl
@@ -1410,6 +1424,11 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
 
     def _warm_solve():
         try:
+            # linearize first: the main loop needs it before the solve, and
+            # it loads fast — warming it second made the main thread's first
+            # linearize wait behind the big solve load (measured +7 s)
+            out = linearize_fn(cams, pts, obs_cam_ch, obs_pt_ch, uv_ch)
+            jax.block_until_ready(out)
             zA = jnp.zeros((Kk, 2, 9), dtype=dt)
             zP = jnp.zeros((Kk, 2, 3), dtype=dt)
             zb = jnp.zeros((Kk, 2), dtype=b_warm_dt)
@@ -1417,8 +1436,6 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
             # a jnp scalar would trace a second (dtype-distinct) program
             out = solve_step(zA, zP, zb, float(params.lambda_initial),
                              ops, params.diagonal_damping)
-            jax.block_until_ready(out)
-            out = linearize_fn(cams, pts, obs_cam_ch, obs_pt_ch, uv_ch)
             jax.block_until_ready(out)
         except Exception:   # warm-up is best-effort; real call will surface it
             pass
@@ -1463,14 +1480,14 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
             _tlog(f"it{it} try(lam={lam:.1e})", _t)
             if math.isfinite(ne) and ne < error:
                 cams, pts, error = nc, npts, ne
-                # lambda_conservative: only probe a smaller lambda when the
+                # conservative policy: only probe a smaller lambda when the
                 # first try succeeded AND that smaller lambda has never
                 # failed (a failed probe costs a full solve — measured
                 # 0.9 s/iter on Ladybug).  Default: GTSAM's always-decrease
                 # (LevenbergMarquardtOptimizer.cpp:168-215).
                 nxt = max(lam / params.lambda_factor,
                           params.lambda_lower_bound)
-                if not params.lambda_conservative:
+                if params.lambda_policy != "conservative":
                     lam = nxt
                 elif lam == lam_entry and nxt > lam_fail_ceiling:
                     lam = nxt

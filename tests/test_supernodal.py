@@ -106,3 +106,44 @@ class TestSupernodalCholesky:
         res_ref = gt.levenberg_marquardt(
             graph, initial, gt.LMParams(max_iterations=10))
         assert abs(res.error - res_ref.error) < 1e-6
+
+
+class TestTwoFloatRefinement:
+    def test_matvec_df_and_refined_solve(self):
+        """matvec_df must reproduce the f64 matvec exactly; solve_refined_df
+        must reach the same accuracy as the emulated-f64 refinement (the
+        TPU-native replacement, round 4)."""
+        import gtsam_tpu as gt
+        from gtsam_tpu.io import datasets
+        from gtsam_tpu import config as cfg
+        cfg.set_default_dtype(jnp.float32)
+        try:
+            graph, initial = datasets.load_2d(
+                datasets.find_example_data("w100.graph"))
+            graph.add(gt.prior_factors(
+                "SE2", [0], np.zeros((1, 3)),
+                gt.noise.sigmas([[1e-3, 1e-3, 1e-4]])))
+            g32 = graph.astype(jnp.float32)
+            vals32 = initial.astype(jnp.float32)
+            bound = g32.bind(vals32)
+            sup = SupernodalCholeskySolver(bound)
+            blocks, g = sup.system(vals32.arrays)
+            rng = np.random.default_rng(0)
+            x = jnp.asarray(rng.normal(size=(sup.nvars, sup.d))
+                            .astype(np.float32))
+            y64 = sup.matvec(blocks, x.astype(jnp.float64), 1e-4)
+            yh, yl = sup.matvec_df(blocks, (x, jnp.zeros_like(x)), 1e-4)
+            ydf = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+            scale = np.abs(np.asarray(y64)).max()
+            assert np.abs(ydf - np.asarray(y64)).max() < 1e-12 * scale
+
+            lam = 1e-4
+            x_df = sup.solve_refined_df(blocks, g, lam, refine_iters=2)
+            H, gd = bound.gn_system(vals32.arrays)
+            ref = np.linalg.solve(
+                np.asarray(H, np.float64) + lam * np.eye(H.shape[0]),
+                np.asarray(gd, np.float64))
+            err = np.abs(np.asarray(x_df, np.float64) - ref).max()
+            assert err < 1e-6 * max(1.0, np.abs(ref).max())
+        finally:
+            cfg.set_default_dtype(jnp.float64)
