@@ -632,6 +632,211 @@ class SupernodalCholeskySolver:
         factored = self.factorize(blocks, lam, diagonal_damping)
         return self.solve_factored(factored, g)
 
+    # -- multifrontal QR (sparse EliminateQR analog) -------------------------
+    #
+    # The reference's default Gaussian elimination is QR on the stacked
+    # whitened Jacobian rows (gtsam/linear/JacobianFactor.cpp:778-838
+    # EliminateQR under the junction tree).  TPU-native version: per
+    # assembly-tree level, gather each supernode's front as
+    #   [ whitened factor rows | children's passed-up R rows | sqrt(lam) I ]
+    # over the front's columns ([snode cols | row structure], the exact
+    # layout of the Cholesky level plans), run ONE batched reduced QR per
+    # level, keep R's frontal part as the factor (L = R^T feeds the SAME
+    # level-batched substitution as the Cholesky path), and pass R's
+    # separator block up to the parent front.  Never forms the Gram matrix:
+    # conditioning is kappa(A), not kappa(A)^2.
+
+    def _qr_plan(self):
+        if getattr(self, "_qr_plan_cache", None) is not None:
+            return self._qr_plan_cache
+        sym = self.sym
+        d = self.d
+        nsuper = sym.nsuper
+        rbmax = max((len(r) for r in sym.snode_rows), default=0)
+        rbmax = max(rbmax, 1)
+
+        # front position of a permuted column within snode s: frontal cols
+        # at [0, w), struct cols at [W_level, W_level + r) — matching the
+        # level plan's (W-padded frontal | struct) block layout
+        W_of = {}
+        for lp in self.level_plans:
+            for s in lp.snodes:
+                W_of[int(s)] = lp.W
+        pos_cache = {}
+
+        def pos_in_front(s, pcol):
+            key = (int(s), int(pcol))
+            if key in pos_cache:
+                return pos_cache[key]
+            c0, w = int(sym.snode_start[s]), int(sym.snode_width[s])
+            if c0 <= pcol < c0 + w:
+                p = int(pcol) - c0
+            else:
+                p = W_of[int(s)] + int(np.searchsorted(sym.snode_rows[s],
+                                                       pcol))
+            pos_cache[key] = p
+            return p
+
+        # slot pool layout: contiguous per (batch, slot)
+        rmax = 1
+        bs_off = []
+        tot = 0
+        for b in self.bound.graph.batches:
+            offs = []
+            rmax = max(rmax, int(b.rdim))
+            for s in range(b.arity):
+                offs.append(tot)
+                tot += b.num_factors
+            bs_off.append(offs)
+        SENT_POOL = tot
+
+        # factor -> front assignment + cell map entries
+        fgroups = [[] for _ in range(nsuper)]   # per snode: {pos: pool id}
+        for bi, ids in enumerate(self.batch_var_ids):
+            pcols = sym.inv_perm[ids]            # (N, arity)
+            smin = sym.snode_of[pcols.min(axis=1)]
+            for i in range(ids.shape[0]):
+                s = int(smin[i])
+                cells = {}
+                for a in range(ids.shape[1]):
+                    cells[pos_in_front(s, pcols[i, a])] = bs_off[bi][a] + i
+                fgroups[s].append(cells)
+
+        # children contribution row-groups
+        children = [[] for _ in range(nsuper)]
+        for c in range(nsuper):
+            p = sym.snode_parent[c]
+            if p >= 0:
+                children[int(p)].append(c)
+        NCON = nsuper * rbmax * rbmax
+        SENT_CON = NCON       # always-zero read slot
+        DUMP_CON = NCON + 1   # write dump for padded scatter entries
+
+        levels = []
+        for lp in self.level_plans:
+            S, W, R = lp.S, lp.W, lp.R
+            WR = W + R
+            gmax = max((len(fgroups[int(s)]) for s in lp.snodes), default=0)
+            gmax = max(gmax, 1)
+            hmax = max((sum(len(sym.snode_rows[c]) for c in
+                            children[int(s)]) for s in lp.snodes), default=0)
+            cellF = np.full((S, gmax, WR), SENT_POOL, dtype=np.int32)
+            cellC = np.full((S, max(hmax, 1), WR), SENT_CON, dtype=np.int32)
+            sep_tgt = np.full((S * R * R,), DUMP_CON, dtype=np.int32)
+            for si, s in enumerate(lp.snodes):
+                s = int(s)
+                for gi, cells in enumerate(fgroups[s]):
+                    for p, pid in cells.items():
+                        cellF[si, gi, p] = pid
+                hi = 0
+                for c in children[s]:
+                    rc = len(sym.snode_rows[c])
+                    pos_c = [pos_in_front(s, pc) for pc in sym.snode_rows[c]]
+                    for j in range(rc):
+                        for k in range(j, rc):
+                            cellC[si, hi, pos_c[k]] = \
+                                (c * rbmax + j) * rbmax + k
+                        hi += 1
+                # this snode's own R_sep scatter targets
+                rs = len(sym.snode_rows[s])
+                for j in range(rs):
+                    for k in range(j, rs):
+                        sep_tgt[(si * R + j) * R + k] = \
+                            (s * rbmax + j) * rbmax + k
+            levels.append(dict(cellF=cellF, cellC=cellC, sep_tgt=sep_tgt,
+                               gmax=gmax, hmax=max(hmax, 1)))
+        self._qr_plan_cache = dict(levels=levels, rmax=rmax, bs_off=bs_off,
+                                   tot=tot, rbmax=rbmax, ncon=NCON + 2)
+        return self._qr_plan_cache
+
+    def factorize_qr(self, arrays, lam=0.0, pivot_tol=1e-10):
+        """Multifrontal QR of the whitened Jacobian (+ sqrt(lam) damping
+        rows).  Returns the same `factored` tuple as factorize(), so
+        solve_factored / solve_refined(_df) work unchanged (R^T takes L's
+        place; signs of R's rows are irrelevant to the substitution)."""
+        qp = self._qr_plan()
+        sym = self.sym
+        d = self.d
+        dt = _default_dtype()
+        rmax = qp["rmax"]
+        lin = self.bound.linearize(arrays)
+        pool = jnp.zeros((qp["tot"] + 1, rmax, d), dtype=dt)
+        for (wJ, bvec), b, offs in zip(lin, self.bound.graph.batches,
+                                       qp["bs_off"]):
+            for s in range(b.arity):
+                blk = jnp.asarray(wJ[s], dtype=dt)
+                N, r, ds = blk.shape
+                blk = jnp.pad(blk, ((0, 0), (0, rmax - r), (0, d - ds)))
+                pool = jax.lax.dynamic_update_slice(pool, blk,
+                                                    (offs[s], 0, 0))
+        contrib = jnp.zeros((qp["ncon"], d, d), dtype=dt)
+        sqrt_lam = jnp.sqrt(jnp.asarray(lam, dtype=dt))
+        Ldiag_l, Lpanel_l = [], []
+        ok = jnp.asarray(True)
+        badcol = jnp.asarray(-1, dtype=jnp.int32)
+        for lp, ql in zip(self.level_plans, qp["levels"]):
+            S, W, R = lp.S, lp.W, lp.R
+            Wd, Rd = W * d, R * d
+            C = Wd + Rd
+            FR = pool[jnp.asarray(ql["cellF"])]     # (S, G, WR, rmax, d)
+            FRr = FR.transpose(0, 1, 3, 2, 4).reshape(S, -1, C)
+            CR = contrib[jnp.asarray(ql["cellC"])]  # (S, H, WR, d, d)
+            CRr = CR.transpose(0, 1, 3, 2, 4).reshape(S, -1, C)
+            # damping + padded-dim identity rows on the frontal columns
+            vd = jnp.asarray(lp.valid_diag)                     # (S, Wd)
+            dvals = jnp.where(vd, sqrt_lam, jnp.asarray(1.0, dt))
+            diag_rows = dvals[:, :, None] * jnp.eye(Wd, C, dtype=dt)[None]
+            front = jnp.concatenate([FRr, CRr, diag_rows], axis=1)
+            TR = front.shape[1]
+            if TR < C:
+                front = jnp.pad(front, ((0, 0), (0, C - TR), (0, 0)))
+            Rfull = jnp.linalg.qr(front, mode="r")              # (S, C, C)
+            piv = jnp.abs(jnp.diagonal(Rfull[:, :Wd, :Wd],
+                                       axis1=-2, axis2=-1))
+            bad = vd & (~jnp.isfinite(piv) | (piv <= pivot_tol))
+            lvl_ok = ~jnp.any(bad)
+            flat_bad = bad.reshape(-1)
+            idx = jnp.argmax(flat_bad)
+            col_of_piv = jnp.repeat(
+                jnp.asarray(lp.col_vars, dtype=jnp.int32).reshape(-1), d)
+            lvl_bad = jnp.where(jnp.any(flat_bad), col_of_piv[idx],
+                                jnp.asarray(-1, jnp.int32))
+            badcol = jnp.where(ok & ~lvl_ok, lvl_bad, badcol)
+            ok = ok & lvl_ok
+            L = jnp.swapaxes(Rfull[:, :Wd, :Wd], 1, 2)
+            L = jnp.where(jnp.isfinite(L), L, 0.0)
+            Ldiag_l.append(L)
+            if R == 0:
+                Lpanel_l.append(None)
+                continue
+            Lp = jnp.swapaxes(Rfull[:, :Wd, Wd:C], 1, 2)        # (S, Rd, Wd)
+            Lp = jnp.where(jnp.isfinite(Lp), Lp, 0.0)
+            Lpanel_l.append(Lp)
+            Rsep = Rfull[:, Wd:C, Wd:C]
+            blks = Rsep.reshape(S, R, d, R, d).transpose(0, 1, 3, 2, 4)
+            contrib = contrib.at[jnp.asarray(ql["sep_tgt"])].set(
+                blks.reshape(S * R * R, d, d))
+        return (None, Ldiag_l, Lpanel_l, ok, badcol)
+
+    def solve_qr(self, arrays, g=None, lam=0.0, refine_iters: int = 0,
+                 blocks=None):
+        """QR-factorize and solve; optional two-float refinement against the
+        Gram matvec (needs `blocks` from system())."""
+        if g is None or (refine_iters and blocks is None):
+            blocks, g = self.system(arrays)
+        factored = self.factorize_qr(arrays, lam)
+        x = self._solve_padded(factored, g)
+        if refine_iters:
+            xp = (x, jnp.zeros_like(x))
+            g_pair = (g, jnp.zeros_like(g))
+            for _ in range(refine_iters):
+                mv = self.matvec_df(blocks, xp, lam)
+                rh, rl = tf.sub(g_pair[0], g_pair[1], mv[0], mv[1])
+                corr = self._solve_padded(factored, rh + rl)
+                xp = tf.add(*xp, corr, jnp.zeros_like(corr))
+            x = tf.to_f32(*xp)
+        return self._flatten(x)
+
     # -- failure surfacing (host) --------------------------------------------
 
     def check_system(self, arrays, lam=0.0):

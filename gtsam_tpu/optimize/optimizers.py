@@ -162,13 +162,26 @@ class DenseQRSolver:
     the QR itself rides the MXU via jnp.linalg.qr."""
 
     def bind(self, bound):
-        self._bound = bound
+        # sigma == 0 rows: QR of the WEIGHTED rows + augmented-Lagrangian
+        # refinement to the exact KKT point (see _soften_constraints /
+        # SparseSolver._solve_constrained; the reference pivots constrained
+        # rows inside QR, NoiseModel.h:514)
+        self._orig_bound = bound
+        self._w = None
         if getattr(bound, "num_constraints", 0):
-            raise NotImplementedError(
-                "DenseQRSolver: use DenseSolver (exact KKT) for sigma==0")
+            self._w = 1e3 if _default_dtype() == jnp.float64 else 1e2
+            bound = _soften_constraints(bound, self._w)
+        self._bound = bound
         return self
 
     def system(self, arrays):
+        if self._w is not None:
+            A, b = self._assemble(arrays)
+            C, c = self._orig_bound.constraint_system(arrays)
+            return A, b, C, c
+        return self._assemble(arrays)
+
+    def _assemble(self, arrays):
         A_rows, b_rows = [], []
         D = self._bound.layout.total_dim
         from ..graph import factors as factors_mod
@@ -194,7 +207,11 @@ class DenseQRSolver:
         return jnp.concatenate(A_rows), jnp.concatenate(b_rows)
 
     def solve(self, system, lam, diagonal_damping):
-        A, b = system
+        if len(system) == 4:
+            A, b, C, c = system
+        else:
+            A, b = system
+            C = None
         D = A.shape[1]
         damp = jnp.sqrt(jnp.asarray(lam, dtype=A.dtype))
         Aaug = jnp.concatenate([A, damp * jnp.eye(D, dtype=A.dtype)])
@@ -202,6 +219,18 @@ class DenseQRSolver:
         Q, R = jnp.linalg.qr(Aaug)
         rdiag = jnp.abs(jnp.diagonal(R))
         dx = jax.scipy.linalg.solve_triangular(R, Q.T @ baug, lower=False)
+        if C is not None:
+            # AL refinement over R (corrected-seminormal re-solves): reach
+            # the exact KKT point of the sigma=0 rows
+            w2 = jnp.asarray(self._w, dtype=b.dtype) ** 2
+            nu = jnp.zeros_like(c)
+            gb = A.T @ b
+            for _ in range(3):
+                nu = nu + w2 * (c - C @ dx)
+                rhs = gb + C.T @ nu
+                dx = jax.scipy.linalg.solve_triangular(
+                    R, jax.scipy.linalg.solve_triangular(
+                        R.T, rhs, lower=True), lower=False)
         # rank-revealing: tiny pivots (undamped) mean an unconstrained gauge
         # direction — poison the step so the driver's finite-check trips and
         # check_system() raises with the offending column (f64 roundoff makes
@@ -212,7 +241,7 @@ class DenseQRSolver:
     def check_system(self, arrays, lam=0.0):
         """Raise IndeterminantLinearSystemError on rank deficiency."""
         from ..linear.exceptions import IndeterminantLinearSystemError
-        A, b = self.system(arrays)
+        A, b = self.system(arrays)[:2]
         D = A.shape[1]
         if A.shape[0] < D:   # wide system: pad so R is square and trailing
             A = jnp.concatenate(    # pivots expose the missing rank
@@ -274,6 +303,10 @@ class SparseSolver:
                  constraint_weight: Optional[float] = None,
                  refine_iters: Optional[int] = None,
                  supernodal_kwargs: Optional[dict] = None):
+        # method="qr": multifrontal QR on the whitened Jacobian rows — the
+        # reference's default EliminateQR (JacobianFactor.cpp:778) — using
+        # the same supernodal structure; kappa(A) conditioning instead of
+        # kappa(A)^2 and rank-revealing pivots.  No diagonal_damping.
         self._order = order
         self._method = method
         self._cweight = constraint_weight
@@ -298,7 +331,7 @@ class SparseSolver:
                 w = 1e3 if _default_dtype() == jnp.float64 else 1e2
             self._w = w
             bound = _soften_constraints(bound, w)
-        if self._method == "supernodal":
+        if self._method in ("supernodal", "qr"):
             from ..linear.supernodal import SupernodalCholeskySolver
             self._s = SupernodalCholeskySolver(bound, order=self._order,
                                                **self._sn_kwargs)
@@ -308,13 +341,38 @@ class SparseSolver:
         return self
 
     def system(self, arrays):
-        if self._w is not None and self._method == "supernodal":
+        if self._w is not None and self._method in ("supernodal", "qr"):
             blocks, g = self._s.system(arrays)
             C, c = self._orig_bound.constraint_system(arrays)
+            if self._method == "qr":
+                return blocks, g, C, c, arrays
             return blocks, g, C, c
+        if self._method == "qr":
+            blocks, g = self._s.system(arrays)
+            return blocks, g, arrays
         return self._s.system(arrays)
 
     def solve(self, system, lam, diagonal_damping):
+        if self._method == "qr":
+            if diagonal_damping:
+                raise NotImplementedError(
+                    "sparse QR supports plain lambda damping only")
+            if len(system) == 5:
+                return self._solve_constrained(system[:4], lam, False,
+                                               arrays=system[4])
+            blocks, g, arrays = system
+            factored = self._s.factorize_qr(arrays, lam)
+            if self._refine:
+                x = self._s._solve_padded(factored, g)
+                from ..base import twofloat as _tf
+                xp = (x, jnp.zeros_like(x))
+                for _ in range(self._refine):
+                    mv = self._s.matvec_df(blocks, xp, lam)
+                    rh, rl = _tf.sub(g, jnp.zeros_like(g), mv[0], mv[1])
+                    corr = self._s._solve_padded(factored, rh + rl)
+                    xp = _tf.add(*xp, corr, jnp.zeros_like(corr))
+                return self._s._flatten(_tf.to_f32(*xp))
+            return self._s.solve_factored(factored, g)
         if len(system) == 4:
             return self._solve_constrained(system, lam, diagonal_damping)
         blocks, g = system
@@ -332,7 +390,7 @@ class SparseSolver:
         return self._s.solve_factored(factored, g)
 
     def _solve_constrained(self, system, lam, diagonal_damping,
-                           al_iters: int = 3):
+                           al_iters: int = 3, arrays=None):
         """EXACT sigma=0 constraints on the sparse path: method of weighting
         + augmented-Lagrangian refinement.
 
@@ -344,7 +402,12 @@ class SparseSolver:
         with constraint-aware QR pivoting, NoiseModel.h:260,514; pivoting is
         hostile to static-shape batched fronts, refinement is not)."""
         blocks, g, C, c = system
-        factored = self._s.factorize(blocks, lam, diagonal_damping)
+        if self._method == "qr":
+            # QR of the WEIGHTED rows (bind() softened the bound), then the
+            # same AL fixed-point over re-solves
+            factored = self._s.factorize_qr(arrays, lam)
+        else:
+            factored = self._s.factorize(blocks, lam, diagonal_damping)
         w2 = jnp.asarray(self._w, dtype=g.dtype) ** 2
         nu = jnp.zeros_like(c)
         dx = None
@@ -689,11 +752,32 @@ def dogleg(graph: FactorGraph, initial: Values,
     params = params or DoglegParams()
     bound, error_fn, system_fn, try_step, solver_obj = _make_step_fns(
         graph, initial, solver)
-    if getattr(bound, "num_constraints", 0):
-        raise NotImplementedError(
-            "dogleg does not support exact constrained noise; use LM/GN")
     layout = initial.layout()
-    sparse_sup = (isinstance(solver_obj, SparseSolver)
+    constrained = bool(getattr(bound, "num_constraints", 0))
+    err_bound = bound
+    if constrained:
+        # sigma == 0 rows: optimize the method-of-weighting penalty objective
+        # (its gradient/Hessian drive the Cauchy leg and the trust region)
+        # while the GN leg is the EXACT KKT step — so at convergence, where
+        # the full GN step fits the trust region, constraints land exactly.
+        # Reference runs these through constraint-aware QR
+        # (NoiseModel.h:260,514); see SparseSolver._solve_constrained for
+        # why weighting+exact-steps is the batched-front-friendly form.
+        w = 1e3 if _default_dtype() == jnp.float64 else 1e2
+        soft = _soften_constraints(bound, w)
+        err_bound = soft
+
+        @jax.jit
+        def error_fn(arrays):
+            return soft.error(arrays)
+
+        @jax.jit
+        def system_fn(arrays):
+            Hs, gs = soft.gn_system(arrays)
+            C, c = bound.constraint_system(arrays)
+            return Hs, gs, C, c
+    sparse_sup = (not constrained
+                  and isinstance(solver_obj, SparseSolver)
                   and solver_obj._method == "supernodal")
 
     def _dogleg_core(arrays, dx_gn, g, Hv, delta):
@@ -720,7 +804,7 @@ def dogleg(graph: FactorGraph, initial: Values,
                                  dx_u * (delta / jnp.maximum(n_u, 1e-300)),
                                  blend()))
         new_arrays = retract_arrays(arrays, dx, layout)
-        new_error = bound.error(new_arrays)
+        new_error = err_bound.error(new_arrays)
         # predicted reduction from the linear model: g'dx - 0.5 dx'H dx
         pred = g @ dx - 0.5 * dx @ Hv(dx)
         return dx, new_arrays, new_error, pred
@@ -738,6 +822,12 @@ def dogleg(graph: FactorGraph, initial: Values,
                 return sup._flatten(sup.matvec(blocks, sup.pack_rhs(x)))
 
             return _dogleg_core(arrays, dx_gn, g, Hv, delta)
+    elif constrained:
+        @jax.jit
+        def dogleg_step(arrays, system, delta):
+            Hs, gs, C, c = system
+            dx_gn = _kkt_solve(Hs, gs, C, c, 0.0, False)
+            return _dogleg_core(arrays, dx_gn, gs, lambda x: Hs @ x, delta)
     else:
         @jax.jit
         def dogleg_step(arrays, H, g, delta):
@@ -751,11 +841,17 @@ def dogleg(graph: FactorGraph, initial: Values,
     converged = False
     it = 0
     for it in range(1, params.max_iterations + 1):
-        H, g = system_fn(arrays)
+        system = system_fn(arrays)
         prev = error
         accepted = False
         for _ in range(10):
-            dx, new_arrays, new_error, pred = dogleg_step(arrays, H, g, delta)
+            if constrained:
+                dx, new_arrays, new_error, pred = dogleg_step(
+                    arrays, system, delta)
+            else:
+                H, g = system
+                dx, new_arrays, new_error, pred = dogleg_step(
+                    arrays, H, g, delta)
             new_error = float(new_error)
             pred = float(pred)
             rho = (error - new_error) / pred if pred > 0 else -1.0

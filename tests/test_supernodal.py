@@ -147,3 +147,43 @@ class TestTwoFloatRefinement:
             assert err < 1e-6 * max(1.0, np.abs(ref).max())
         finally:
             cfg.set_default_dtype(jnp.float64)
+
+
+class TestSparseQRvsCholesky:
+    def test_qr_matches_cholesky_w100(self):
+        """Reference test idiom #5 (SURVEY §4): QR and Cholesky elimination
+        produce the same solution (linear/tests/testGaussianFactorGraph.cpp),
+        here on the sparse supernodal paths over w100."""
+        import gtsam_tpu as gt
+        from gtsam_tpu.io import datasets
+        from gtsam_tpu import config as cfg
+        cfg.set_default_dtype(jnp.float32)
+        try:
+            graph, initial = datasets.load_2d(
+                datasets.find_example_data("w100.graph"))
+            graph.add(gt.prior_factors(
+                "SE2", [0], np.zeros((1, 3)),
+                gt.noise.sigmas([[1e-3, 1e-3, 1e-4]])))
+            g32 = graph.astype(jnp.float32)
+            vals32 = initial.astype(jnp.float32)
+            bound = g32.bind(vals32)
+            sup = SupernodalCholeskySolver(bound)
+            lam = 1e-4
+            blocks, g = sup.system(vals32.arrays)
+            x_chol = sup.solve_factored(sup.factorize(blocks, lam), g)
+            x_qr = sup.solve_qr(vals32.arrays, g=g, lam=lam)
+            H, gd = bound.gn_system(vals32.arrays)
+            ref = np.linalg.solve(
+                np.asarray(H, np.float64) + lam * np.eye(H.shape[0]),
+                np.asarray(gd, np.float64))
+            sc = np.abs(ref).max()
+            e_chol = np.abs(np.asarray(x_chol, np.float64) - ref).max() / sc
+            e_qr = np.abs(np.asarray(x_qr, np.float64) - ref).max() / sc
+            # same solution to f32 working precision...
+            np.testing.assert_allclose(np.asarray(x_qr), np.asarray(x_chol),
+                                       atol=5e-4 * sc)
+            # ...and QR at least as accurate as Cholesky (kappa vs kappa^2;
+            # measured on this fixture: 4.1e-5 vs 1.2e-4)
+            assert e_qr <= 2.0 * e_chol
+        finally:
+            cfg.set_default_dtype(jnp.float64)
