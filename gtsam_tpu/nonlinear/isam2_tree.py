@@ -134,9 +134,25 @@ class ISAM2Tree:
     def __init__(self, relinearize_threshold: float = 0.1,
                  relinearize_skip: int = 1,
                  relax_tau: float = 0.3, force_width: int = 8,
-                 max_width: int = 48, wildfire_threshold: float = 0.001):
+                 max_width: int = 48, wildfire_threshold: float = 0.001,
+                 optimization: str = "gn", initial_delta: float = 1.0):
         self.relin_threshold = relinearize_threshold
         self.relin_skip = relinearize_skip
+        # optimization = "gn" (wildfire Gauss-Newton delta, the reference's
+        # ISAM2Params::OptimizationParams GaussNewton default) or "dogleg"
+        # (trust-region updateDelta, reference ISAM2.cpp:724-779 +
+        # DoglegOptimizerImpl.h:138 Iterate): the published delta is the
+        # dogleg blend of the Newton step with the Cauchy (steepest-descent)
+        # step, and the trust radius persists across updates like the
+        # reference's doglegDelta_.  Dogleg disables wildfire partial
+        # back-substitution (the reference keeps separate deltaNewton_ /
+        # RgProd_ vectors for that; here the Newton step is always solved
+        # in full) and is not supported together with marginalize_leaves.
+        if optimization not in ("gn", "dogleg"):
+            raise ValueError(f"optimization must be gn|dogleg, "
+                             f"got {optimization!r}")
+        self.optimization = optimization
+        self.delta_trust = float(initial_delta)
         # wildfire-style selective back-substitution (reference
         # ISAM2Clique::optimizeWildfire, ISAM2Clique.h:90,172 — default
         # threshold 0.001 matches ISAM2Params): after refactoring, solve the
@@ -409,6 +425,8 @@ class ISAM2Tree:
         plan = self._replan(affected_sids, touched, new_vids)
         self._ensure_dtype_buffers()
         self._execute(plan)
+        if self.optimization == "dogleg":
+            self._update_delta_dogleg()
         return self.delta_host[:self.nvar]
 
     def _frozen_vid(self, v):
@@ -625,6 +643,11 @@ class ISAM2Tree:
         whole-tree pass is skipped."""
         wf = self.wildfire_threshold
         if wf is None or wf <= 0.0 or not len(self.delta_host):
+            return False
+        if self.optimization != "gn":
+            # dogleg needs the FULL Newton step each update (the published
+            # delta_host holds the blended dogleg step, so the wildfire
+            # interface comparison against it would be meaningless)
             return False
         if len(self.delta_host) < self.nvar:
             return False     # new variables appeared: grow delta via full pass
@@ -1409,6 +1432,11 @@ class ISAM2Tree:
         cached Schur complement becomes a permanent prior on the separator
         and their factors/variables leave the active system (ISAM2::
         marginalizeLeaves, gtsam/nonlinear/ISAM2.h:192-199)."""
+        if self.optimization != "gn":
+            raise ValueError(
+                "marginalize_leaves requires optimization='gn': the dogleg "
+                "gradient/Hessian ride the resident factor H/g, which no "
+                "longer carries frozen subtrees' folded marginal terms")
         vids = {self.key_to_vid[int(k)] for k in keys}
         frozen_any = False
         for sid, s in list(self.snodes.items()):
@@ -1517,6 +1545,152 @@ class ISAM2Tree:
                     key = self._blk_key(v1, v2)
                     Hd[key] = Hd.get(key, np.zeros((d, d))) + Hij
         return Hd, gd
+
+    # -- dogleg updateDelta ---------------------------------------------------
+    # Reference: ISAM2.cpp:724-779 (updateDelta, dogleg branch) feeding
+    # DoglegOptimizerImpl::Iterate (DoglegOptimizerImpl.h:138): blend the
+    # Newton step with the Cauchy step at the persistent trust radius,
+    # evaluate the TRUE nonlinear error at the blend, adapt the radius from
+    # the gain ratio, and publish the blended delta.  gradientAtZero is the
+    # resident assembled gradient g (H dx = g is the normal-equation form of
+    # the Bayes tree), and g'Hg rides the resident H blocks.
+
+    def _ensure_err_idx(self, st):
+        cache = getattr(st, "_err_idx", None)
+        if cache is not None and cache["cap"] == st.cap \
+                and cache["n"] == st.n:
+            return cache
+        arity = st.keys.shape[1]
+        rows = np.zeros((st.cap, arity), dtype=np.int32)
+        vids = np.full((st.cap, arity), self.n_cap, dtype=np.int32)
+        for r in range(st.n):
+            for s in range(arity):
+                v = int(st.keys[r, s])
+                rows[r, s] = self.var_row[v]
+                vids[r, s] = v
+        st._err_idx = dict(cap=st.cap, n=st.n, rows=jnp.asarray(rows),
+                           vids=jnp.asarray(vids))
+        return st._err_idx
+
+    def _err_program(self, sig):
+        key = ("nlerr", sig, self.n_cap, self.d,
+               tuple(sorted(self.type_cap.items())))
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        self._evict_jit()
+        metas = [(st.batch, st.batch.var_types) for st in self.stores]
+
+        @jax.jit
+        def err(var_arrays, store_args, dpad):
+            tot = jnp.zeros((), dtype=dpad.dtype)
+            for (batch, types), (meas, R, rows, vids) in zip(
+                    metas, store_args):
+                dims = batch.dims()
+                retracts = tuple(manifolds.get(t).retract for t in types)
+                xs = tuple(jax.tree.map(lambda a: a[rows[:, s]],
+                                        var_arrays[t])
+                           for s, t in enumerate(types))
+                ds = tuple(dpad[vids[:, s], :dims[s]]
+                           for s in range(len(types)))
+
+                def one(xs_one, ds_one, meas_one, R_one):
+                    xs_p = tuple(r(x, dd) for r, x, dd in
+                                 zip(retracts, xs_one, ds_one))
+                    w = R_one @ batch.residual_fn(xs_p, meas_one)
+                    return 0.5 * jnp.sum(w * w)
+
+                tot = tot + jnp.sum(jax.vmap(one)(xs, ds, meas, R))
+            return tot
+
+        self._jit_cache[key] = err
+        return err
+
+    def _nl_error(self, delta=None) -> float:
+        """Total nonlinear half-chi2 at retract(theta, delta).
+
+        Inactive (padding / marginalized) factor rows have R == 0 and
+        contribute nothing; delta rows are indexed by vid (padding row
+        n_cap is zero)."""
+        dpad = np.zeros((self.n_cap + 1, self.d))
+        if delta is not None:
+            dpad[:self.nvar] = delta
+        args, sig = [], []
+        for st in self.stores:
+            idx = self._ensure_err_idx(st)
+            args.append((st.meas, st.R, idx["rows"], idx["vids"]))
+            sig.append((st.batch.residual_fn, st.batch.var_types,
+                        st.batch.rdim, st.cap))
+        prog = self._err_program(tuple(sig))
+        return float(prog(self.var_arrays, args, jnp.asarray(dpad)))
+
+    def _hres_matvec(self):
+        """Block-sparse y = H x over the resident assembled H blocks.
+
+        Stored block orientation is (larger-pos rows, smaller-pos cols) —
+        the same convention the assembly flips enforce."""
+        items = list(self.block_slot.items())
+        aa = np.fromiter((p[0] for p, _ in items), dtype=np.int64,
+                         count=len(items))
+        bb = np.fromiter((p[1] for p, _ in items), dtype=np.int64,
+                         count=len(items))
+        slots = np.fromiter((s for _, s in items), dtype=np.int64,
+                            count=len(items))
+        hi = self.pos[aa] >= self.pos[bb]
+        p = np.where(hi, aa, bb)
+        q = np.where(hi, bb, aa)
+        Hb = np.asarray(self.Hres, dtype=np.float64)[slots]
+        off = p != q
+
+        def mv(v):     # v: (nvar, d)
+            out = np.zeros_like(v)
+            np.add.at(out, p, np.einsum("mij,mj->mi", Hb, v[q]))
+            np.add.at(out, q[off],
+                      np.einsum("mji,mj->mi", Hb[off], v[p[off]]))
+            return out
+
+        return mv
+
+    def _update_delta_dogleg(self):
+        n, d = self.nvar, self.d
+        dx_n = np.asarray(self.delta_host[:n], dtype=np.float64)
+        g = np.asarray(self.gres[:n], dtype=np.float64)
+        mv = self._hres_matvec()
+        err0 = self._nl_error(None)
+        gg = float(np.vdot(g, g))
+        gHg = float(np.vdot(g, mv(g)))
+        alpha = gg / gHg if gHg > 0 else 0.0
+        dx_u = alpha * g
+        n_gn = float(np.linalg.norm(dx_n))
+        n_u = float(np.linalg.norm(dx_u))
+        dx_d = dx_n
+        for _ in range(10):       # SEARCH_EACH_ITERATION analog
+            delta = self.delta_trust
+            if n_gn <= delta:
+                dx_d = dx_n
+            elif n_u >= delta:
+                dx_d = dx_u * (delta / max(n_u, 1e-300))
+            else:
+                # || dx_u + tau (dx_n - dx_u) || = delta
+                dvec = dx_n - dx_u
+                a = float(np.vdot(dvec, dvec))
+                b = 2.0 * float(np.vdot(dx_u, dvec))
+                c = float(np.vdot(dx_u, dx_u)) - delta * delta
+                disc = max(b * b - 4 * a * c, 0.0)
+                tau = (-b + np.sqrt(disc)) / max(2 * a, 1e-300)
+                dx_d = dx_u + tau * dvec
+            err_new = self._nl_error(dx_d)
+            pred = float(np.vdot(g, dx_d)) - 0.5 * float(
+                np.vdot(dx_d, mv(dx_d)))
+            rho = (err0 - err_new) / pred if pred > 0 else -1.0
+            if rho > 0.75:
+                self.delta_trust = min(2.0 * self.delta_trust, 1e10)
+            elif rho < 0.25:
+                self.delta_trust = self.delta_trust / 2.0
+            if np.isfinite(err_new) and err_new <= err0:
+                break
+            if self.delta_trust < 1e-10:
+                break
+        self.delta_host[:n] = dx_d
 
     # -- estimates ------------------------------------------------------------
 

@@ -159,9 +159,75 @@ class TestISAM2Tree:
         assert isam.stats()["frozen"] >= 1 or not frozen
 
 
+class TestISAM2TreeDogleg:
+    """ISAM2 dogleg updateDelta oracle (reference ISAM2.cpp:724-779 +
+    DoglegOptimizerImpl.h:138)."""
+
+    def _chain(self, isam, n=8, seed=3):
+        rng = np.random.default_rng(seed)
+        isam.update([_se2_prior(0, [0.0, 0.0, 0.0])],
+                    [(0, "SE2", jnp.zeros(3))])
+        for i in range(1, n):
+            isam.update(
+                [_se2_between(i - 1, i, [1.0, 0.0, 0.1])],
+                [(i, "SE2", jnp.asarray([float(i) + rng.normal(0, 0.1),
+                                         rng.normal(0, 0.1), 0.0]))])
+
+    def test_huge_radius_equals_newton(self):
+        # trust radius >> |dx_gn|: the dogleg point IS the Newton step
+        isam = ISAM2Tree(relinearize_threshold=1e9, wildfire_threshold=0.0,
+                         optimization="dogleg", initial_delta=1e8)
+        self._chain(isam)
+        ref = _batch_delta(isam)
+        np.testing.assert_allclose(isam.delta_host[:isam.nvar], ref,
+                                   atol=1e-8)
+
+    def test_tiny_radius_is_scaled_cauchy(self):
+        # trust radius << |dx_u|: the dogleg point is delta * g / |g|
+        delta = 1e-6
+        isam = ISAM2Tree(relinearize_threshold=1e9, wildfire_threshold=0.0,
+                         optimization="dogleg", initial_delta=delta)
+        self._chain(isam)
+        g = np.asarray(isam.gres[:isam.nvar], dtype=np.float64)
+        got = isam.delta_host[:isam.nvar]
+        # the radius adapts across updates (rho > 0.75 doubles it, like the
+        # reference's doglegDelta_); the published step must still be the
+        # truncated Cauchy step: along +g, with norm <= the current radius
+        r = np.linalg.norm(got)
+        assert delta / 2 <= r <= isam.delta_trust * (1 + 1e-9)
+        np.testing.assert_allclose(got, g * (r / np.linalg.norm(g)),
+                                   atol=1e-10)
+
+    def test_converges_to_batch_dogleg_optimum(self):
+        isam = ISAM2Tree(relinearize_threshold=1e-6, relinearize_skip=1,
+                         wildfire_threshold=0.0, optimization="dogleg")
+        graph = gt.FactorGraph()
+        isam.update([_se2_prior(0, [0.0, 0.0, 0.0])],
+                    [(0, "SE2", jnp.zeros(3))])
+        graph.add(_se2_prior(0, [0.0, 0.0, 0.0]))
+        vals_entries = [(0, "SE2", jnp.zeros(3))]
+        for i in range(1, 6):
+            b = _se2_between(i - 1, i, [1.0, 0.0, 0.2])
+            init = jnp.asarray([float(i), 0.1 * i, 0.0])
+            isam.update([b], [(i, "SE2", init)])
+            graph.add(b)
+            vals_entries.append((i, "SE2", init))
+        for _ in range(8):
+            isam.update()
+        from gtsam_tpu.graph.values import Values
+        res = gt.dogleg(graph, Values.from_entries(vals_entries),
+                        gt.DoglegParams(max_iterations=30))
+        est = isam.calculate_estimate()
+        assert abs(float(graph.error(est)) - res.error) < 1e-6
+
+    def test_dogleg_rejects_marginalization(self):
+        isam = ISAM2Tree(optimization="dogleg")
+        self._chain(isam, n=4)
+        with pytest.raises(ValueError, match="marginalize_leaves"):
+            isam.marginalize_leaves([0])
+
+
 @pytest.mark.slow
-
-
 def test_wildfire_partial_backsub():
     """Wildfire threshold: per-update delta stays within threshold-induced
     error of the exact solve, and far-from-update subtrees actually skip the
