@@ -33,14 +33,22 @@ def solve_qp(G, g, A_eq=None, b_eq=None, A_in=None, b_in=None, x0=None,
     b_in = np.zeros(0) if b_in is None else np.atleast_1d(np.asarray(b_in, dtype=float))
 
     def kkt_solve(x, active):
-        """Solve the equality-constrained step: direction p and multipliers."""
+        """Solve the equality-constrained step: direction p and multipliers.
+
+        The constraint rows of the KKT rhs carry the residual b_w - A_w x
+        (not zero), so the step also corrects any drift off the working-set
+        manifold — a start that is infeasible w.r.t. the equalities gets
+        pulled onto them instead of converging to an infeasible point."""
         Aw = np.vstack([A_eq] + [A_in[i:i + 1] for i in active]) \
             if (len(A_eq) or active) else np.zeros((0, n))
+        bw = np.concatenate([b_eq, [b_in[i] for i in active]]) \
+            if (len(A_eq) or active) else np.zeros(0)
         m = Aw.shape[0]
         K = np.block([[G, Aw.T], [Aw, np.zeros((m, m))]])
-        rhs = np.concatenate([-(G @ x + g), np.zeros(m)])
+        rhs = np.concatenate([-(G @ x + g), bw - Aw @ x])
+        eps = 1e-14 * max(1.0, np.abs(G).max())   # scale-aware regularization
         try:
-            sol = np.linalg.solve(K + 1e-14 * np.eye(n + m), rhs)
+            sol = np.linalg.solve(K + eps * np.eye(n + m), rhs)
         except np.linalg.LinAlgError:
             sol = np.linalg.lstsq(K, rhs, rcond=None)[0]
         # KKT solves G p + A' v = -(G x + g); the inequality multipliers in the
@@ -52,14 +60,21 @@ def solve_qp(G, g, A_eq=None, b_eq=None, A_in=None, b_in=None, x0=None,
         A_all = np.vstack([A_eq, A_in])
         b_all = np.concatenate([b_eq, b_in])
         if len(A_all):
-            x = np.linalg.lstsq(A_all, b_all, rcond=None)[0]
-            # push into the feasible side of inequalities
+            # equality manifold first (min-norm exact), then inequality pushes
+            if len(A_eq):
+                x = np.linalg.lstsq(A_eq, b_eq, rcond=None)[0]
+            else:
+                x = np.linalg.lstsq(A_all, b_all, rcond=None)[0]
+            # push into the feasible side of inequalities WITHOUT leaving the
+            # equality manifold (correction solved jointly with A_eq c = 0)
             for _ in range(50):
                 viol = A_in @ x - b_in if len(A_in) else np.zeros(0)
                 bad = viol < -tol
                 if not bad.any():
                     break
-                corr = np.linalg.lstsq(A_in[bad], -viol[bad], rcond=None)[0]
+                Ac = np.vstack([A_in[bad], A_eq])
+                bc = np.concatenate([-viol[bad], np.zeros(len(A_eq))])
+                corr = np.linalg.lstsq(Ac, bc, rcond=None)[0]
                 x = x + corr
         else:
             x = np.zeros(n)
