@@ -42,6 +42,7 @@ class TestHybrid:
             sol = g.optimize(init)
             assert sol.discrete[100] == true_mode, true_mode
 
+    @pytest.mark.slow
     def test_posterior_concentrates(self):
         g, init = self._slip_problem(0)
         assignments, probs = g.discrete_posterior(init)

@@ -47,7 +47,10 @@ def _make_pose_graph(n_poses, seed=0, closure_stride=8):
     return graph, values, ki, kj
 
 
-@pytest.mark.parametrize("ndev", [2, 8])
+@pytest.mark.parametrize("ndev", [
+    pytest.param(2, marks=pytest.mark.slow),   # 8-dev case covers the mesh
+    8,
+])
 def test_sharded_posegraph_matches_single(ndev):
     n_poses = 48
     graph, values, ki, kj = _make_pose_graph(n_poses)

@@ -188,6 +188,7 @@ class TestGraftEntry:
 
 
 class TestTwoFloatSchur:
+    @pytest.mark.slow
     def test_df_schur_matches_f64_oracle(self):
         """The two-float mixed-precision Schur path must solve the EXACT
         damped Gram system of the f32 Jacobians (the property the retired

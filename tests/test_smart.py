@@ -166,6 +166,7 @@ class TestLinearizationModes:
         np.testing.assert_allclose(np.asarray(gvq), np.asarray(gvs),
                                    atol=1e-5 * np.abs(np.asarray(gvq)).max())
 
+    @pytest.mark.slow
     def test_hessian_mode_information(self):
         from gtsam_tpu.slam.smart import (accumulate_hessian,
                                           smart_hessian_blocks)

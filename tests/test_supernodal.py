@@ -39,6 +39,7 @@ class TestSupernodalCholesky:
             np.testing.assert_allclose(np.asarray(dx), np.asarray(ref),
                                        atol=1e-8)
 
+    @pytest.mark.slow
     def test_diagonal_damping_matches_dense(self):
         graph, initial = _w100_graph()
         bound = graph.bind(initial)
@@ -109,6 +110,7 @@ class TestSupernodalCholesky:
 
 
 class TestTwoFloatRefinement:
+    @pytest.mark.slow
     def test_matvec_df_and_refined_solve(self):
         """matvec_df must reproduce the f64 matvec exactly; solve_refined_df
         must reach the same accuracy as the emulated-f64 refinement (the
