@@ -134,17 +134,18 @@ def run_sphere(ref):
     out = fused(arrays0)            # compile + first run
     jax.block_until_ready(out[1])
     t0 = time.time()
-    it, arrays, error, conv, hist = fused(arrays0)
+    it, arrays, error, conv, hist, tries = fused(arrays0)
     jax.block_until_ready(arrays)
     wall = time.time() - t0
     it = int(it)
+    tries = int(tries)
     error = float(error)
     wall_conv = wall if (target and error <= target) else None
     per_iter = wall / max(it, 1)
     ref_iter = refs.get("lm_iter_seconds")
     return dict(s_per_iter=per_iter, wall_to_converged=wall_conv,
                 chordal_s=chordal_s, final_half_chi2=error,
-                iters=it,
+                iters=it, tries=tries,
                 vs_baseline_iter=(ref_iter / per_iter) if ref_iter else 1.0,
                 vs_baseline_wall=(refs.get("wall_to_converged_s", 0) /
                                   wall_conv) if wall_conv else 0.0)

@@ -86,10 +86,13 @@ def solve_qp(G, g, A_eq=None, b_eq=None, A_in=None, b_in=None, x0=None,
     for it in range(1, max_iterations + 1):
         p, lam_in = kkt_solve(x, active)
         if np.linalg.norm(p) < tol:
-            # converged on this working set; check multipliers
+            # converged on this working set; check multipliers AND primal
+            # feasibility (a failed phase-1 start can otherwise report a
+            # KKT point of the working set that violates an inactive row)
             if len(active) == 0 or (len(lam_in) and lam_in.min() >= -tol) \
                     or not len(lam_in):
-                return QPResult(x, active, it, True)
+                return QPResult(x, active, it,
+                                _feasible(x, A_eq, b_eq, A_in, b_in, tol))
             # drop most negative multiplier
             drop = active[int(np.argmin(lam_in))]
             active.remove(drop)
@@ -103,13 +106,25 @@ def solve_qp(G, g, A_eq=None, b_eq=None, A_in=None, b_in=None, x0=None,
             denom = A_in[i] @ p
             if denom < -tol:
                 a = (b_in[i] - A_in[i] @ x) / denom
-                if a < alpha:
+                # an already-violated constraint gives a < 0; stepping
+                # backwards along p would chase it — ignore it in the ratio
+                # test (it can only be repaired by the KKT correction step)
+                if 0.0 <= a < alpha:
                     alpha = a
                     blocking = i
         x = x + alpha * p
         if blocking is not None:
             active.append(blocking)
     return QPResult(x, active, max_iterations, False)
+
+
+def _feasible(x, A_eq, b_eq, A_in, b_in, tol):
+    ok = True
+    if len(A_eq):
+        ok &= bool(np.abs(A_eq @ x - b_eq).max() <= max(tol, 1e-8))
+    if len(A_in):
+        ok &= bool((A_in @ x - b_in).min() >= -max(tol, 1e-8))
+    return ok
 
 
 def solve_lp(c, A_eq=None, b_eq=None, A_in=None, b_in=None,

@@ -106,15 +106,21 @@ def parse_qps(path: str) -> QPSProblem:
                     lo[col], up[col] = 0.0, 1.0
             elif section in ("QUADOBJ", "QMATRIX"):
                 for i in range(1, len(tok) - 1, 2):
-                    quad.append((tok[0], tok[i], float(tok[i + 1])))
+                    quad.append((section, tok[0], tok[i], float(tok[i + 1])))
 
     n = len(cols)
     Q = np.zeros((n, n))
-    for c1, c2, v in quad:
+    for sec, c1, c2, v in quad:
         i, j = col_idx[c1], col_idx[c2]
-        Q[i, j] += v
-        if i != j:
-            Q[j, i] += v
+        if sec == "QMATRIX":
+            # QMATRIX lists BOTH triangles explicitly — assign one-sided,
+            # no mirroring (mirroring would double every cross term)
+            Q[i, j] += v
+        else:
+            # QUADOBJ lists the lower triangle only; mirror off-diagonals
+            Q[i, j] += v
+            if i != j:
+                Q[j, i] += v
     c = np.zeros(n)
     for name, v in cvec.items():
         c[col_idx[name]] = v
@@ -128,8 +134,19 @@ def parse_qps(path: str) -> QPSProblem:
         b = rhs.get(rname, 0.0)
         kind = rows[rname]
         if kind == "E":
-            A_eq.append(a)
-            b_eq.append(b)
+            if rname in ranges:
+                # MPS range r on an E row: b <= ax <= b+r (r>0) or
+                # b+r <= ax <= b (r<0) — a two-sided inequality, not an
+                # equality
+                r = ranges[rname]
+                los, his = (b, b + r) if r >= 0 else (b + r, b)
+                A_in.append(a)
+                b_in.append(los)
+                A_in.append(-a)
+                b_in.append(-his)
+            else:
+                A_eq.append(a)
+                b_eq.append(b)
         elif kind == "G":
             A_in.append(a)
             b_in.append(b)

@@ -320,8 +320,12 @@ class SupernodalCholeskySolver:
     def system(self, arrays):
         """Linearize + assemble block-sparse H and padded gradient g.
 
-        Returns (blocks (B+1, d, d) — last block is the zero sentinel for
-        padded gathers — and g (nvars, d))."""
+        Returns (blocks (B+1, d*d) — FLAT block store, one row per stored
+        (d, d) block, last row the zero sentinel for padded gathers — and
+        g (nvars, d)).  The flat layout exists because TPU scatter-adds of
+        (n, d, d) updates into a (B, d, d) store measured 3x slower than the
+        same scatter in (n, d*d) rows (round-5 microbenchmark); every
+        consumer reshapes at the use site, which is free."""
         d = self.d
         dt = _default_dtype()
         sym = self.sym
@@ -345,9 +349,10 @@ class SupernodalCholeskySolver:
             Hij = jnp.where(jnp.asarray(flip)[:, None, None],
                             jnp.swapaxes(Hij, 1, 2), Hij)
             h_list.append(Hij)
-        blocks = jnp.zeros((self.B + 1, d, d), dtype=dt)
+        blocks = jnp.zeros((self.B + 1, d * d), dtype=dt)
         if h_list:
-            allH = jnp.concatenate(h_list, axis=0)[self._asm_order]
+            allH = jnp.concatenate(h_list, axis=0).reshape(-1, d * d)
+            allH = allH[self._asm_order]
             segH = jax.ops.segment_sum(allH, self._asm_seg,
                                        num_segments=len(self._asm_uniq))
             blocks = blocks.at[self._asm_uniq].add(segH)
@@ -358,7 +363,7 @@ class SupernodalCholeskySolver:
                                        num_segments=len(self._g_uniq))
             g = g.at[self._g_uniq].add(segG)
         pad = jnp.asarray(self.pad_diag, dtype=dt)
-        eye_pad = jax.vmap(jnp.diag)(pad)
+        eye_pad = jax.vmap(jnp.diag)(pad).reshape(-1, d * d)
         blocks = blocks.at[sym.diag_block_by_col].add(eye_pad)
         return blocks, g
 
@@ -376,20 +381,21 @@ class SupernodalCholeskySolver:
         d = self.d
         dt = blocks.dtype
         true_dims = 1.0 - jnp.asarray(self.pad_diag, dtype=dt)  # (n, d)
+        diag_idx = np.arange(d) * d + np.arange(d)              # flat diagonal
         if diagonal_damping:
-            dvec = jnp.diagonal(blocks[sym.diag_block_by_col],
-                                axis1=-2, axis2=-1)  # (n, d)
+            dvec = blocks[sym.diag_block_by_col][:, diag_idx]   # (n, d)
             dvec = jnp.clip(dvec, min_diag, max_diag)
             damp = lam * dvec * true_dims
         else:
             damp = lam * true_dims
-        blocks = blocks.at[sym.diag_block_by_col].add(jax.vmap(jnp.diag)(damp))
+        blocks = blocks.at[sym.diag_block_by_col[:, None],
+                           diag_idx[None, :]].add(damp)
         Ldiag_l, Lpanel_l = [], []
         ok = jnp.asarray(True)
         badcol = jnp.asarray(-1, dtype=jnp.int32)
         for lp in self.level_plans:
             S, W, R = lp.S, lp.W, lp.R
-            G = blocks[lp.diag_ids]                       # (S,W,W,d,d)
+            G = blocks[lp.diag_ids].reshape(S, W, W, d, d)
             G = jnp.where(jnp.asarray(lp.diag_flip)[..., None, None],
                           jnp.swapaxes(G, -1, -2), G)
             front = G.transpose(0, 1, 3, 2, 4).reshape(S, W * d, W * d)
@@ -412,29 +418,28 @@ class SupernodalCholeskySolver:
             # zero out rows/cols of padded slots so scattered blocks stay clean
             L = jnp.where(jnp.isfinite(L), L, 0.0)
             Ldiag_l.append(L)
-            Lb = L.reshape(S, W, d, W, d).transpose(0, 1, 3, 2, 4)
-            Lb = Lb.reshape(S * W * W, d, d)
-            blocks = blocks.at[lp.diag_sc_tgt].set(Lb[lp.diag_sc_src])
+            # NOTE: L is deliberately NOT written back into the block store —
+            # every consumer (solve_factored/_solve_padded, refinement) reads
+            # the per-level dense factors, and the two L scatters plus the
+            # (d,d)-granular relayouts they forced measured ~17 ms of the
+            # 42 ms sphere2500 factorize (round-5 ablation)
             if R == 0:
                 Lpanel_l.append(None)
                 continue
-            P = blocks[lp.panel_ids]                      # (S,R,W,d,d)
+            P = blocks[lp.panel_ids].reshape(S, R, W, d, d)
             A_panel = P.transpose(0, 1, 3, 2, 4).reshape(S, R * d, W * d)
             Xt = jax.lax.linalg.triangular_solve(
                 L, jnp.swapaxes(A_panel, 1, 2), left_side=True, lower=True)
             Lp = jnp.swapaxes(Xt, 1, 2)                   # A L^{-T}
             Lp = jnp.where(jnp.isfinite(Lp), Lp, 0.0)
             Lpanel_l.append(Lp)
-            Lpb = Lp.reshape(S, R, d, W, d).transpose(0, 1, 3, 2, 4)
-            Lpb = Lpb.reshape(S * R * W, d, d)
-            blocks = blocks.at[lp.panel_sc_tgt].set(Lpb[lp.panel_sc_src])
             U = jnp.einsum("sij,skj->sik", Lp, Lp)        # (S, R*d, R*d) MXU
             Ub = U.reshape(S, R, d, R, d).transpose(0, 1, 3, 2, 4)
-            Ub = Ub.reshape(S * R * R, d, d)
+            Ub = Ub.reshape(S * R * R, d * d)
             seg = jax.ops.segment_sum(Ub[lp.schur_src], lp.schur_seg,
                                       num_segments=len(lp.schur_tgt))
             blocks = blocks.at[lp.schur_tgt].add(-seg)
-        return (blocks, Ldiag_l, Lpanel_l, ok, badcol)
+        return (None, Ldiag_l, Lpanel_l, ok, badcol)
 
     def _damp_vec(self, blocks, lam, diagonal_damping,
                   min_diag=1e-6, max_diag=1e32):
@@ -442,8 +447,8 @@ class SupernodalCholeskySolver:
         dt = blocks.dtype
         true_dims = 1.0 - jnp.asarray(self.pad_diag, dtype=dt)
         if diagonal_damping:
-            dvec = jnp.diagonal(blocks[self.sym.diag_block_by_col],
-                                axis1=-2, axis2=-1)
+            diag_idx = np.arange(self.d) * self.d + np.arange(self.d)
+            dvec = blocks[self.sym.diag_block_by_col][:, diag_idx]
             dvec = jnp.clip(dvec, min_diag, max_diag)
             return lam * dvec * true_dims
         return lam * true_dims
@@ -454,14 +459,16 @@ class SupernodalCholeskySolver:
         high-precision refinement residual."""
         sym = self.sym
         dt = x.dtype
+        d = self.d
         ro, rseg, runiq, offd, coi, cseg, cuniq = self._mv_plan
-        Bv = blocks[:self.B].astype(dt)
+        Bv = blocks[:self.B].reshape(self.B, d, d).astype(dt)
         t1 = jnp.einsum("bij,bj->bi", Bv, x[sym.block_col])
         y = jnp.zeros((self.nvars, self.d), dtype=dt)
         s1 = jax.ops.segment_sum(t1[ro], rseg, num_segments=len(runiq))
         y = y.at[runiq].add(s1)
         if len(offd):
-            t2 = jnp.einsum("bij,bi->bj", blocks[coi].astype(dt),
+            Bo = blocks[coi].reshape(len(coi), d, d).astype(dt)
+            t2 = jnp.einsum("bij,bi->bj", Bo,
                             x[sym.block_row[coi]])
             s2 = jax.ops.segment_sum(t2, cseg, num_segments=len(cuniq))
             y = y.at[cuniq].add(s2)
@@ -481,7 +488,7 @@ class SupernodalCholeskySolver:
         ro, rseg, runiq, offd, coi, cseg, cuniq = self._mv_plan
         r_pad, r_buckets, r_ids, c_pad, c_buckets, c_ids = self._mv_df_plan
         d = self.d
-        Bv = blocks[:self.B]
+        Bv = blocks[:self.B].reshape(self.B, d, d)
         xkh = xh[sym.block_col]
         xkl = xl[sym.block_col]
 
@@ -498,7 +505,7 @@ class SupernodalCholeskySolver:
         yh, yl = reductions.padded_reduce_df(
             t1, r_pad, r_buckets, self.nvars, r_ids)
         if len(offd):
-            Bo = blocks[coi]
+            Bo = blocks[coi].reshape(len(coi), d, d)
             xrh = xh[sym.block_row[coi]]
             xrl = xl[sym.block_row[coi]]
             t2 = bdot(Bo, xrh, xrl, transpose=True)

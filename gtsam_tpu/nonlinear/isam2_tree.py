@@ -1683,7 +1683,12 @@ class ISAM2Tree:
                 np.vdot(dx_d, mv(dx_d)))
             rho = (err0 - err_new) / pred if pred > 0 else -1.0
             if rho > 0.75:
-                self.delta_trust = min(2.0 * self.delta_trust, 1e10)
+                # reference DoglegOptimizerImpl expansion: Delta jumps to
+                # 3*|dx_d| when the model fits well, so a tiny radius
+                # recovers immediately instead of one doubling per update
+                self.delta_trust = min(
+                    max(self.delta_trust, 3.0 * float(np.linalg.norm(dx_d))),
+                    1e10)
             elif rho < 0.25:
                 self.delta_trust = self.delta_trust / 2.0
             if np.isfinite(err_new) and err_new <= err0:

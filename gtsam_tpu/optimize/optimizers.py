@@ -554,16 +554,18 @@ def make_fused_lm(graph: FactorGraph, initial: Values,
 
     def lm_outer(arrays0):
         error0 = bound.error(arrays0)
+        # `tries` counts every solve+error probe (accepted or rejected) —
+        # the unit of real cost; observability for lambda-policy tuning
 
         use_gain = params.lambda_policy == "gain"
         conservative = params.lambda_policy == "conservative"
 
         def outer_cond(st):
-            it, _, _, _, _, _, done, _, _ = st
+            it, _, _, _, _, _, done, _, _, _ = st
             return (it < maxit) & ~done
 
         def outer_body(st):
-            it, arrays, error, lam, ceil, nu, _, _, hist = st
+            it, arrays, error, lam, ceil, nu, _, _, hist, tries = st
             system = solver.system(arrays)
 
             def try_cond(ts):
@@ -571,7 +573,7 @@ def make_fused_lm(graph: FactorGraph, initial: Values,
                 return ~accepted & (lam_t <= params.lambda_upper_bound)
 
             def try_body(ts):
-                lam_t, _, _, _, ceil_t, nu_t, _ = ts
+                lam_t, _, _, _, ceil_t, nu_t, _, nt = ts
                 dx = solver.solve(system, lam_t, params.diagonal_damping)
                 new_arrays = retract_arrays(arrays, dx, layout)
                 ne = bound.error(new_arrays)
@@ -595,13 +597,13 @@ def make_fused_lm(graph: FactorGraph, initial: Values,
                     lambda x, y: jnp.where(ok, x, y), a, b)
                 return (lam_next, ok, keep(new_arrays, arrays),
                         jnp.where(ok, ne, error), ceil_next, nu_next,
-                        jnp.where(ok, rho, 0.0))
+                        jnp.where(ok, rho, 0.0), nt + 1)
 
             (lam_f, accepted, new_arrays, new_error, ceil, nu,
-             rho) = lax.while_loop(
+             rho, tries) = lax.while_loop(
                 try_cond, try_body,
                 (lam, jnp.asarray(False), arrays, error, ceil, nu,
-                 jnp.asarray(0.0, dtype=dt)))
+                 jnp.asarray(0.0, dtype=dt), tries))
             if use_gain:
                 # Nielsen update: lam *= max(1/3, 1-(2*rho-1)^3) on accept.
                 # (A deeper floor was tried and measured WORSE on sphere2500:
@@ -631,7 +633,7 @@ def make_fused_lm(graph: FactorGraph, initial: Values,
                             * jnp.maximum(error, 1e-300)))
             hist = hist.at[it + 1].set(new_error.astype(hist.dtype))
             return (it + 1, new_arrays, new_error, lam_out, ceil, nu_out,
-                    ~accepted | converged, accepted & converged, hist)
+                    ~accepted | converged, accepted & converged, hist, tries)
 
         hist0 = jnp.full((maxit + 1,), jnp.nan,
                          dtype=dt).at[0].set(error0.astype(dt))
@@ -639,10 +641,11 @@ def make_fused_lm(graph: FactorGraph, initial: Values,
               jnp.asarray(params.lambda_initial, dtype=dt),
               jnp.asarray(0.0, dtype=dt),
               jnp.asarray(2.0, dtype=dt),
-              jnp.asarray(False), jnp.asarray(False), hist0)
-        it, arrays, error, _, _, _, _, conv, hist = lax.while_loop(
+              jnp.asarray(False), jnp.asarray(False), hist0,
+              jnp.asarray(0))
+        it, arrays, error, _, _, _, _, conv, hist, tries = lax.while_loop(
             outer_cond, outer_body, st)
-        return it, arrays, error, conv, hist
+        return it, arrays, error, conv, hist, tries
 
     return jax.jit(lm_outer)
 
@@ -663,7 +666,7 @@ def levenberg_marquardt_fused(graph: FactorGraph, initial: Values,
     level schedule is jit-safe, so sphere2500-class pose graphs run the full
     LM loop as one XLA program."""
     fn = make_fused_lm(graph, initial, params, solver)
-    it, arrays, error, conv, hist = fn(initial.arrays)
+    it, arrays, error, conv, hist, _tries = fn(initial.arrays)
     it = int(it)
     hist = np.asarray(hist)
     history = [float(h) for h in hist[:it + 1] if math.isfinite(h)]

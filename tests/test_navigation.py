@@ -286,3 +286,110 @@ class TestCoriolis:
 def _skew(w):
     return np.array([[0.0, -w[2], w[1]], [w[2], 0.0, -w[0]],
                      [-w[1], w[0], 0.0]])
+
+
+class TestMonteCarloCovariance:
+    """ScenarioRunner Monte-Carlo consistency (testImuFactor.cpp
+    estimateCovariance idiom): the sample covariance of preintegrated /
+    predicted states over noisy integrations must match preintMeasCov.
+    Vectorized: all N noise realizations integrate in one vmapped scan."""
+
+    @pytest.mark.slow
+    def test_preint_cov_matches_monte_carlo(self):
+        from gtsam_tpu.navigation import scenario as scen
+        params = PreintegrationParams(accel_sigma=0.1, gyro_sigma=0.01,
+                                      integration_sigma=1e-9,
+                                      gravity=tuple(GRAVITY))
+        sc = scen.constant_twist(w=[0.1, 0.2, 0.3], v=[1.0, 0.0, 0.0])
+        runner = scen.ScenarioRunner(sc, params, imu_dt=0.01)
+        T, N = 0.5, 800
+        n = int(round(T / runner.imu_dt))
+        ts = jnp.arange(n) * runner.imu_dt
+        acc_exact = np.asarray(runner.actual_specific_force(ts))
+        gyro_exact = np.asarray(sc.omega_b(ts))
+        dts = jnp.full((n,), runner.imu_dt)
+        pim0 = preintegrate(acc_exact, gyro_exact, dts, jnp.zeros(6), params)
+
+        rng = np.random.default_rng(42)
+        sa = params.accel_sigma / np.sqrt(runner.imu_dt)
+        sw = params.gyro_sigma / np.sqrt(runner.imu_dt)
+        accs = acc_exact[None] + sa * rng.normal(size=(N, n, 3))
+        gyros = gyro_exact[None] + sw * rng.normal(size=(N, n, 3))
+
+        zetas = jax.vmap(
+            lambda a, g: preintegrate(a, g, dts, jnp.zeros(6), params).zeta
+        )(jnp.asarray(accs), jnp.asarray(gyros))
+        X = np.asarray(zetas, dtype=float)
+        X = X - np.asarray(pim0.zeta)[None, :]
+        est = X.T @ X / (N - 1)
+        pred = np.asarray(pim0.cov, dtype=float)
+        # reference testImuFactor uses assert_equal with ~1e-5..0.1 abs tol
+        # at its scales; use a relative Frobenius bound + diagonal agreement
+        rel = np.linalg.norm(est - pred) / np.linalg.norm(pred)
+        assert rel < 0.15, f"Frobenius mismatch {rel:.3f}"
+        d_est, d_pred = np.diag(est), np.diag(pred)
+        np.testing.assert_allclose(d_est, d_pred, rtol=0.25)
+
+    @pytest.mark.slow
+    def test_predict_cov_matches_monte_carlo(self):
+        """estimateCovariance (NavState-local) path of ScenarioRunner."""
+        from gtsam_tpu.navigation import scenario as scen
+        params = PreintegrationParams(accel_sigma=0.1, gyro_sigma=0.01,
+                                      integration_sigma=1e-9,
+                                      gravity=tuple(GRAVITY))
+        sc = scen.accelerating(np.eye(3), np.zeros(3), np.array([1.0, 0, 0]),
+                               np.array([0.2, 0.0, 0.0]))
+        runner = scen.ScenarioRunner(sc, params, imu_dt=0.01)
+        T = 0.5
+        est = runner.estimate_covariance(T, N=300, seed=7)
+        pred = np.asarray(runner.integrate(T).cov, dtype=float)
+        rel = np.linalg.norm(est - pred) / np.linalg.norm(pred)
+        assert rel < 0.3, f"Frobenius mismatch {rel:.3f}"
+
+
+class TestGeodesy:
+    """WGS84 conversions (GeographicLib-subset port, SURVEY §2.9)."""
+
+    def test_ecef_roundtrip(self):
+        from gtsam_tpu.navigation import geodesy as geo
+        rng = np.random.default_rng(1)
+        lat = rng.uniform(-89, 89, 200)
+        lon = rng.uniform(-180, 180, 200)
+        alt = rng.uniform(-100, 9000, 200)
+        la, lo, al = geo.ecef_to_geodetic(geo.geodetic_to_ecef(lat, lon, alt))
+        np.testing.assert_allclose(la, lat, atol=1e-10)
+        np.testing.assert_allclose(((lo - lon + 180) % 360) - 180, 0,
+                                   atol=1e-10)
+        np.testing.assert_allclose(al, alt, atol=1e-6)
+
+    def test_known_point(self):
+        from gtsam_tpu.navigation import geodesy as geo
+        # equator/prime meridian at 0 altitude -> (a, 0, 0)
+        np.testing.assert_allclose(geo.geodetic_to_ecef(0.0, 0.0, 0.0),
+                                   [geo.WGS84_A, 0.0, 0.0], atol=1e-9)
+        # north pole -> (0, 0, b)
+        np.testing.assert_allclose(geo.geodetic_to_ecef(90.0, 0.0, 0.0),
+                                   [0.0, 0.0, geo.WGS84_B], atol=1e-8)
+
+    def test_local_cartesian(self):
+        from gtsam_tpu.navigation import geodesy as geo
+        lc = geo.LocalCartesian(48.8566, 2.3522, 35.0)
+        # origin maps to 0
+        np.testing.assert_allclose(lc.forward(48.8566, 2.3522, 35.0), 0.0,
+                                   atol=1e-9)
+        # pure-up displacement maps to +z
+        up = lc.forward(48.8566, 2.3522, 135.0)
+        np.testing.assert_allclose(up, [0.0, 0.0, 100.0], atol=1e-6)
+        # roundtrip
+        xyz = lc.forward(48.86, 2.36, 40.0)
+        la, lo, al = lc.reverse(xyz)
+        np.testing.assert_allclose([la, lo, al], [48.86, 2.36, 40.0],
+                                   atol=1e-8)
+
+    def test_enu_matches_small_flat_approx(self):
+        from gtsam_tpu.navigation import geodesy as geo
+        # 100 m north should be ~(0, 100, 0) in ENU
+        lat0, lon0 = 37.0, -122.0
+        dlat = 100.0 / 111132.95  # meters per degree latitude at 37N approx
+        xyz = geo.geodetic_to_enu(lat0 + dlat, lon0, 0.0, lat0, lon0, 0.0)
+        assert abs(xyz[1] - 100.0) < 0.2 and abs(xyz[0]) < 1e-6
