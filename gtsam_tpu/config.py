@@ -22,9 +22,16 @@ if not os.environ.get("GTSAM_TPU_NO_X64"):
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: TPU compiles (esp. emulated f64) are expensive;
-# cache them across processes.
+# cache them across processes.  Resolution order: explicit env var, a
+# repo-shipped .xla_cache (pre-populated executables distributed with the
+# source so a fresh checkout's first run loads instead of compiling), then
+# the per-user cache dir.
+_repo_cache = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".xla_cache")
 _cache_dir = os.environ.get(
-    "GTSAM_TPU_COMPILATION_CACHE", os.path.expanduser("~/.cache/gtsam_tpu_xla"))
+    "GTSAM_TPU_COMPILATION_CACHE",
+    _repo_cache if os.path.isdir(_repo_cache)
+    else os.path.expanduser("~/.cache/gtsam_tpu_xla"))
 if _cache_dir:
     try:
         jax.config.update("jax_compilation_cache_dir", _cache_dir)

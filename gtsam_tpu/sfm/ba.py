@@ -228,6 +228,10 @@ class SchurStructure:
 
 _GROUP_CAP = 64
 
+# (signature) -> {"error_fn": jit, "phase": {dtype_str: (linearize, solve,
+# apply)}} — see ba_optimize; bounded to one entry (executables are large)
+_STEP_FN_CACHE = {}
+
 # flat-lane outer-product index maps (trailing dim 81/27/9 instead of (9,9)
 # etc. — TPU tiles pad the last dim to 128 lanes, so wide-flat layouts waste
 # 1.6x instead of 14x HBM)
@@ -1295,6 +1299,23 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
     uv = jnp.asarray(prob.obs_uv[order], dtype=hi)
     ops = st.device_ops()
 
+    # Cross-call step-function cache: a second ba_optimize on the same
+    # problem SHAPE reuses the already-loaded executables instead of
+    # re-tracing fresh jit objects and re-uploading the big solve program
+    # (~6 s at Ladybug scale even with a hot persistent cache).  The key
+    # covers every trace-time-static input: dims, plan group tuples,
+    # chunking, dtypes, and the precision mode.
+    def _sig_of(st_):
+        def _b(t):
+            return tuple(tuple(int(x) for x in g[:3]) if hasattr(g, "__len__")
+                         else int(g) for g in t) if t else ()
+        return (st_.num_cameras, st_.num_points, len(st_.obs_cam),
+                _b(st_.pt_groups), st_.pt_tail is None,
+                _b(st_.cell_groups), st_.cell_tail is None,
+                _b(st_.cam_buckets), _b(st_.sym_buckets),
+                len(st_.sym_pad_idx) if st_.sym_pad_idx is not None else -1,
+                len(st_.pair_a), len(st_.cell_unique))
+
     batch = factors_mod.custom_factors(
         "ProjectionBal", ("BalCamera", "Point3"),
         np.zeros((1, 2), dtype=np.int64),  # keys unused here
@@ -1391,7 +1412,23 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
 
     ops["uv"] = uv
 
-    phases = {dt: make_phase(dt)}
+    _ck = (_sig_of(st), Kk, NCH, CHK, str(jnp.dtype(dt)), str(jnp.dtype(hi)),
+           bool(mixed_precision))
+    _cached = _STEP_FN_CACHE.get(_ck)
+    if _cached is None:
+        _cached = {"error_fn": error_fn, "phase": {}}
+        _STEP_FN_CACHE.clear()   # hold at most one problem's executables
+        _STEP_FN_CACHE[_ck] = _cached
+    else:
+        error_fn = _cached["error_fn"]
+
+    def _phase_cached(pdt):
+        key = str(jnp.dtype(pdt))
+        if key not in _cached["phase"]:
+            _cached["phase"][key] = make_phase(pdt)
+        return _cached["phase"][key]
+
+    phases = {dt: _phase_cached(dt)}
     if hi != dt:
         phases[hi] = None   # built lazily on first fine-phase iteration
     pdt = dt
@@ -1456,7 +1493,7 @@ def ba_optimize(prob: bal_mod.BalProblem, params: Optional[LMParams] = None,
     for it in range(1, params.max_iterations + 1):
         _t0 = _time.time()
         if phases[pdt] is None:
-            phases[pdt] = make_phase(pdt)
+            phases[pdt] = _phase_cached(pdt)
         linearize_fn, solve_step, apply_step = phases[pdt]
         _t = _time.time()
         A_cam, A_pt, b = linearize_fn(cams, pts, obs_cam_ch, obs_pt_ch, uv_ch)
