@@ -157,9 +157,22 @@ def run_sphere(ref):
     wall_conv = wall if (target and error <= target) else None
     per_iter = wall / max(it, 1)
     ref_iter = refs.get("lm_iter_seconds")
+    # ATE parity vs groundtruth (BASELINE.json metric clause); reference
+    # GTSAM measures 0.4308 rmse on the same pipeline (reference_2d.json)
+    ate_rmse = None
+    try:
+        from gtsam_tpu.utils.metrics import ate as _ate
+        final = vals32.replace_arrays(arrays)
+        _, gt_t = datasets.groundtruth_trajectory(
+            datasets.find_example_data("sphere2500_groundtruth.txt"))
+        est_t = np.asarray(final.arrays["SE3"].t, dtype=float)
+        kk = np.asarray(final.keys["SE3"])
+        ate_rmse = _ate(est_t[np.argsort(kk)], gt_t)["rmse"]
+    except Exception:
+        pass
     return dict(s_per_iter=per_iter, wall_to_converged=wall_conv,
                 chordal_s=chordal_s, final_half_chi2=error,
-                iters=it, tries=tries,
+                iters=it, tries=tries, ate_rmse=ate_rmse,
                 vs_baseline_iter=(ref_iter / per_iter) if ref_iter else 1.0,
                 vs_baseline_wall=(refs.get("wall_to_converged_s", 0) /
                                   wall_conv) if wall_conv else 0.0)
@@ -206,6 +219,9 @@ def main():
             "final_half_chi2": round(sph["final_half_chi2"], 2),
             "vs_baseline_iter": round(sph["vs_baseline_iter"], 3),
             "vs_baseline_wall": round(sph["vs_baseline_wall"], 3),
+            "ate_rmse_m": (round(sph["ate_rmse"], 4)
+                           if sph.get("ate_rmse") is not None else None),
+            "ref_ate_rmse_m": 0.4308,
         }
     value = bab["value"] if bab["value"] else sum(
         [bab["per_iter"]] * bab["iters"])

@@ -33,23 +33,36 @@ def find_example_data(name: str) -> str:
 
 
 def _info2d_from_vector(v, fmt: str) -> np.ndarray:
-    """6-vector -> 3x3 information matrix (dataset.cpp:216-262)."""
+    """6-vector -> 3x3 INFORMATION matrix (dataset.cpp:216-279).
+
+    Layouts: 'g2o'/'cov' use row-major upper-triangle [v0 v1 v2; . v3 v4;
+    . . v5]; 'toro'/'graph' use TORO order [v0 v1 v4; . v2 v5; . . v3].
+    Semantics (this is the part round 4 got wrong): 'g2o'/'toro' files STORE
+    the information matrix; 'graph'/'cov' — and the reference's AUTO
+    detection, which only ever yields GRAPH or COV — store the COVARIANCE,
+    which createNoiseModel inverts (noiseModel::Gaussian::Covariance).
+    Round-4 loaders read AUTO-detected matrices as information, which
+    mis-weighted w20000 odometry by 10-25x vs real GTSAM."""
     v = np.asarray(v, dtype=np.float64)
     if fmt == "auto":
-        if v[0] != 0 and v[1] == 0 and v[2] != 0 and v[3] != 0 and v[4] == 0 and v[5] == 0:
-            fmt = "toro"
-        elif v[0] != 0 and v[1] == 0 and v[2] == 0 and v[3] != 0 and v[4] == 0 and v[5] != 0:
-            fmt = "g2o"
+        if v[0] != 0 and v[1] == 0 and v[2] != 0 and v[3] != 0                 and v[4] == 0 and v[5] == 0:
+            fmt = "graph"
+        elif v[0] != 0 and v[1] == 0 and v[2] == 0 and v[3] != 0                 and v[4] == 0 and v[5] != 0:
+            fmt = "cov"
         else:
-            fmt = "g2o"
-    if fmt == "g2o":
+            raise ValueError(
+                "load_2d: unrecognized covariance matrix format; pass "
+                "noise_format explicitly (dataset.cpp:220-231 analog)")
+    if fmt in ("g2o", "cov"):
         M = np.array([[v[0], v[1], v[2]],
                       [v[1], v[3], v[4]],
                       [v[2], v[4], v[5]]])
-    else:  # toro: inf_ff inf_fs inf_ss inf_rr inf_fr inf_sr
+    else:  # toro/graph layout
         M = np.array([[v[0], v[1], v[4]],
                       [v[1], v[2], v[5]],
                       [v[4], v[5], v[3]]])
+    if fmt in ("cov", "graph"):
+        M = np.linalg.inv(M)
     return M
 
 
@@ -79,7 +92,7 @@ def load_2d(path: str, noise_format: str = "auto"):
                 v = [float(t) for t in tok[6:12]]
                 fmt = noise_format
                 if fmt == "auto" and tag == "EDGE_SE2":
-                    fmt = "g2o"  # auto-detect TORO-style tags per line
+                    fmt = "g2o"  # g2o-tagged rows store information
                 e_i.append(i)
                 e_j.append(j)
                 e_meas.append([x, y, th])
@@ -298,3 +311,37 @@ def _to_quat_np(R) -> np.ndarray:
     q[1 + j] = (R[j, i] + R[i, j]) / s
     q[1 + k] = (R[k, i] + R[i, k]) / s
     return q
+
+
+def groundtruth_trajectory(path: str):
+    """Compose a TORO edge-list groundtruth file into (N, 3, 3), (N, 3) poses.
+
+    The reference ships sphere2500_groundtruth.txt as NOISE-FREE EDGE3 rows
+    (no vertices); chaining the sequential (i -> i+1) odometry edges
+    reconstructs the groundtruth trajectory the ATE metric compares against
+    (BASELINE.json "ATE parity" clause).
+    """
+    import numpy as np
+    odo = {}
+    n_max = 0
+    with open(path) as f:
+        for line in f:
+            tok = line.split()
+            if not tok or tok[0] != "EDGE3":
+                continue
+            i, j = int(tok[1]), int(tok[2])
+            n_max = max(n_max, i, j)
+            if j != i + 1:
+                continue
+            x, y, z, roll, pitch, yaw = (float(t) for t in tok[3:9])
+            odo[i] = (_ypr_np(yaw, pitch, roll), np.array([x, y, z]))
+    n = n_max + 1
+    Rs = np.empty((n, 3, 3))
+    ts = np.empty((n, 3))
+    Rs[0] = np.eye(3)
+    ts[0] = 0.0
+    for i in range(n - 1):
+        dR, dt = odo[i]
+        ts[i + 1] = ts[i] + Rs[i] @ dt
+        Rs[i + 1] = Rs[i] @ dR
+    return Rs, ts

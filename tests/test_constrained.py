@@ -234,6 +234,7 @@ class TestSparseQR:
     """Multifrontal sparse QR (EliminateQR analog on the supernodal
     structure, linear/supernodal.py factorize_qr)."""
 
+    @pytest.mark.slow
     def test_sparse_qr_constrained_matches_kkt(self):
         """sigma==0 rows through the sparse-QR path: QR of the weighted rows
         + AL refinement must hit the dense KKT oracle exactly (VERDICT r3

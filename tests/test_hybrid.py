@@ -49,6 +49,7 @@ class TestHybrid:
         i0 = next(i for i, a in enumerate(assignments) if a[100] == 0)
         assert probs[i0] > 0.99
 
+    @pytest.mark.slow
     def test_discrete_prior_influences(self):
         """With an overwhelming discrete prior on mode 1 and ambiguous data,
         the posterior follows the prior."""

@@ -106,6 +106,7 @@ class TestISAM2Tree:
         isam.update([_se2_between(5, 2, [-3.0, 0.0, 0.0])])
         _check(isam)
 
+    @pytest.mark.slow
     def test_relinearization(self):
         isam = ISAM2Tree(relinearize_threshold=0.01, relinearize_skip=1, wildfire_threshold=0.0)
         rng = np.random.default_rng(2)

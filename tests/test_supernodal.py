@@ -54,6 +54,7 @@ class TestSupernodalCholesky:
             sup.factorize(blocks, lam, diagonal_damping=True), gg)
         np.testing.assert_allclose(np.asarray(dx), np.asarray(ref), atol=1e-8)
 
+    @pytest.mark.slow
     def test_underconstrained_raises(self):
         graph, initial = _w100_graph(with_prior=False)  # gauge freedom
         bound = graph.bind(initial)
@@ -152,6 +153,52 @@ class TestTwoFloatRefinement:
 
 
 class TestSparseQRvsCholesky:
+    def test_qr_matches_cholesky_small(self):
+        """Fast default-tier QR-vs-Cholesky cross-check (idiom #5) on a
+        small random SE2 chain+loop graph; the w100 variant below keeps the
+        full-dataset check in the slow tier."""
+        import gtsam_tpu as gt
+        from gtsam_tpu import config as cfg
+        cfg.set_default_dtype(jnp.float32)
+        try:
+            rng = np.random.default_rng(3)
+            n = 14
+            ki = np.arange(n - 1)
+            kj = ki + 1
+            loops_i = np.array([0, 3, 5])
+            loops_j = np.array([7, 10, 13])
+            i = np.concatenate([ki, loops_i])
+            j = np.concatenate([kj, loops_j])
+            meas = rng.normal(0, 0.5, (len(i), 3))
+            graph = gt.FactorGraph()
+            graph.add(gt.between_factors(
+                "SE2", i, j, jnp.asarray(meas),
+                gt.noise.sigmas(np.full((len(i), 3), 0.1))))
+            graph.add(gt.prior_factors("SE2", [0], np.zeros((1, 3)),
+                                       gt.noise.sigmas([[1e-2] * 3])))
+            vals = gt.Values.from_entries(
+                [(k, "SE2", np.zeros(3)) for k in range(n)])
+            g32 = graph.astype(jnp.float32)
+            v32 = vals.astype(jnp.float32)
+            bound = g32.bind(v32)
+            sup = SupernodalCholeskySolver(bound)
+            lam = 1e-4
+            blocks, g = sup.system(v32.arrays)
+            x_chol = sup.solve_factored(sup.factorize(blocks, lam), g)
+            x_qr = sup.solve_qr(v32.arrays, g=g, lam=lam)
+            H, gd = bound.gn_system(v32.arrays)
+            ref = np.linalg.solve(
+                np.asarray(H, np.float64) + lam * np.eye(H.shape[0]),
+                np.asarray(gd, np.float64))
+            sc = max(1.0, np.abs(ref).max())
+            np.testing.assert_allclose(np.asarray(x_qr), np.asarray(x_chol),
+                                       atol=5e-4 * sc)
+            np.testing.assert_allclose(np.asarray(x_chol, np.float64), ref,
+                                       atol=5e-4 * sc)
+        finally:
+            cfg.set_default_dtype(jnp.float64)
+
+    @pytest.mark.slow
     def test_qr_matches_cholesky_w100(self):
         """Reference test idiom #5 (SURVEY §4): QR and Cholesky elimination
         produce the same solution (linear/tests/testGaussianFactorGraph.cpp),
