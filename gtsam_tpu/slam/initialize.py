@@ -34,7 +34,11 @@ def _between_se3_edges(graph: FactorGraph):
 
 
 def initialize_pose3_chordal(graph: FactorGraph, anchor_key=None) -> Values:
-    """Chordal initialization for an SE3 between-factor graph."""
+    """Chordal initialization for an SE3 between-factor graph.
+
+    Fully vectorized assembly (round 5): the COO triplets for both the
+    rotation and translation systems are built by numpy broadcasting — the
+    per-edge python loops were ~60% of the 0.2 s init on sphere2500."""
     edges = _between_se3_edges(graph)
     if not edges:
         raise ValueError("no BetweenSE3 factors in graph")
@@ -45,37 +49,36 @@ def initialize_pose3_chordal(graph: FactorGraph, anchor_key=None) -> Values:
         anchor_key = keys[0]
     a = idx[anchor_key]
 
+    E = len(edges)
+    I = np.fromiter((idx[e[0]] for e in edges), dtype=np.int64, count=E)
+    J = np.fromiter((idx[e[1]] for e in edges), dtype=np.int64, count=E)
+    Rijs = np.stack([e[2] for e in edges])            # (E, 3, 3)
+    tijs = np.stack([e[3] for e in edges])            # (E, 3)
+
     # --- rotations: 3 decoupled systems over 3n unknowns ------------------
-    rows, cols, vals = [], [], []
-    rcount = 0
-    for (i, j, Rij, _t) in edges:
-        ii, jj = idx[i], idx[j]
-        # x_j^T - Rij^T x_i^T = 0  (3 equations per edge per row-system)
-        for r in range(3):
-            rows.append(rcount + r)
-            cols.append(3 * jj + r)
-            vals.append(1.0)
-            for c in range(3):
-                rows.append(rcount + r)
-                cols.append(3 * ii + c)
-                vals.append(-Rij[c, r])  # Rij^T[r, c] = Rij[c, r]
-        rcount += 3
-    # anchor: x_a = e_r (per system)
-    A_rows = []
-    b_all = np.zeros((rcount + 3, 3))
-    for r in range(3):
-        rows.append(rcount + r)
-        cols.append(3 * a + r)
-        vals.append(10.0)  # strong anchor weight
+    # per edge: rows 3e+r get  +1 at col 3j+r  and  -Rij[c, r] at col 3i+c
+    r3 = np.arange(3)
+    e3 = 3 * np.arange(E)
+    rows_id = (e3[:, None] + r3[None, :]).reshape(-1)
+    cols_id = (3 * J[:, None] + r3[None, :]).reshape(-1)
+    vals_id = np.ones(3 * E)
+    rows_R = (e3[:, None, None] + r3[None, :, None]
+              + np.zeros((1, 1, 3), np.int64)).reshape(-1)
+    cols_R = (3 * I[:, None, None] + np.zeros((1, 3, 1), np.int64)
+              + r3[None, None, :]).reshape(-1)
+    vals_R = (-Rijs.transpose(0, 2, 1)).reshape(-1)
+    rcount = 3 * E
+    # anchor: x_a = e_r (per system), strong weight
+    rows = np.concatenate([rows_id, rows_R, rcount + r3])
+    cols = np.concatenate([cols_id, cols_R, 3 * a + r3])
+    vals = np.concatenate([vals_id, vals_R, np.full(3, 10.0)])
     A = sp.csr_matrix((vals, (rows, cols)), shape=(rcount + 3, 3 * n))
     AtA = (A.T @ A).tocsc()
     lu = spla.splu(AtA)
-    X = np.zeros((n, 3, 3))
-    for r in range(3):  # solve for row r of every rotation
-        b = np.zeros(rcount + 3)
-        b[rcount + r] = 10.0  # anchor row = e_r
-        x = lu.solve(A.T @ b)
-        X[:, r, :] = x.reshape(n, 3)
+    B = np.zeros((rcount + 3, 3))
+    B[rcount + r3, r3] = 10.0          # anchor rows = 10 * e_r
+    X3 = lu.solve(A.T @ B)             # (3n, 3): all 3 systems at once
+    X = X3.reshape(n, 3, 3).transpose(0, 2, 1)   # row r of each rotation
     # project to SO(3)
     U, _s, Vt = np.linalg.svd(X)
     det = np.linalg.det(U @ Vt)
@@ -86,22 +89,15 @@ def initialize_pose3_chordal(graph: FactorGraph, anchor_key=None) -> Values:
     R = U @ D @ Vt
 
     # --- translations: t_j - t_i = R_i t_ij -------------------------------
-    rows, cols, vals = [], [], []
-    b = []
-    rcount = 0
-    for (i, j, _Rij, tij) in edges:
-        ii, jj = idx[i], idx[j]
-        rhs = R[ii] @ tij
-        for r in range(3):
-            rows.append(rcount + r); cols.append(3 * jj + r); vals.append(1.0)
-            rows.append(rcount + r); cols.append(3 * ii + r); vals.append(-1.0)
-            b.append(rhs[r])
-        rcount += 3
-    for r in range(3):
-        rows.append(rcount + r); cols.append(3 * a + r); vals.append(10.0)
-        b.append(0.0)
-    A = sp.csr_matrix((vals, (rows, cols)), shape=(rcount + 3, 3 * n))
-    bv = np.asarray(b)
+    rhs = np.einsum("eij,ej->ei", R[I], tijs)         # (E, 3)
+    rows_t = np.concatenate([rows_id, rows_id, rcount + r3])
+    cols_t = np.concatenate([cols_id,
+                             (3 * I[:, None] + r3[None, :]).reshape(-1),
+                             3 * a + r3])
+    vals_t = np.concatenate([np.ones(3 * E), -np.ones(3 * E),
+                             np.full(3, 10.0)])
+    A = sp.csr_matrix((vals_t, (rows_t, cols_t)), shape=(rcount + 3, 3 * n))
+    bv = np.concatenate([rhs.reshape(-1), np.zeros(3)])
     t = spla.splu((A.T @ A).tocsc()).solve(A.T @ bv).reshape(n, 3)
 
     import jax.numpy as jnp
