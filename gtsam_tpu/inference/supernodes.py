@@ -150,18 +150,28 @@ def analyze_supernodal(
     relax_tau: float = 0.3,
     force_width: int = 16,
     max_width: int = 64,
+    barrier: int = None,
 ) -> SupernodalSymbolic:
     """Full supernodal analysis pipeline.
 
     relax_tau: max fraction of explicit zeros introduced by a merge
     force_width: always merge child+parent when the merged width <= this
     max_width: never exceed this supernode width (bounds the padded front)
+    barrier: permuted-column index that no supernode may span — used for
+      partial elimination (e.g. interior columns < barrier eliminated,
+      separator columns >= barrier kept; NestedDissection-inl.h analog)
     """
     n = adj.shape[0]
     perm = np.asarray(perm, dtype=np.int64)
     # pass 1: etree under the fill-reducing ordering -> postorder
     parent0, _, _ = _column_structs(adj, perm)
     post = _etree_postorder(parent0)
+    if barrier is not None:
+        # stable-partition the postorder so pre-barrier (interior) columns
+        # stay contiguous before post-barrier (separator) ones; children-
+        # before-parents is preserved because separators are only ever
+        # ancestors of interiors under a separator-last ordering
+        post = np.concatenate([post[post < barrier], post[post >= barrier]])
     perm2 = perm[post]
     # pass 2: full structure under the postordered permutation
     parent, s_indptr, s_rows = _column_structs(adj, perm2)
@@ -175,7 +185,8 @@ def analyze_supernodal(
     for j in range(n):
         if (j > 0 and parent[j - 1] == j
                 and colcount[j - 1] == colcount[j] + 1
-                and (j - starts[-1]) < max_width):
+                and (j - starts[-1]) < max_width
+                and (barrier is None or j != barrier)):
             snode_of[j] = len(starts) - 1
         else:
             starts.append(j)
@@ -219,6 +230,8 @@ def analyze_supernodal(
             wm = ws + wt
             if wm > max_width:
                 continue
+            if barrier is not None and start_of[s] < barrier < end_of[t]:
+                continue   # never amalgamate across the elimination barrier
             rm = np.union1d(rs[rs >= end_of[t]], rows[t])
             extra = (nnz_of(wm, len(rm))
                      - nnz_of(ws, len(rs)) - nnz_of(wt, len(rows[t])))

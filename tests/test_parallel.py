@@ -86,3 +86,31 @@ def test_partition_covers_all_keys():
     # every factor is owned by exactly one device
     owned = np.concatenate(st.factor_shard)
     assert sorted(owned.tolist()) == list(range(len(ki) + 1 - 1 + 1))[:len(ki)]
+
+
+@pytest.mark.parametrize("ndev", [
+    pytest.param(2, marks=pytest.mark.slow),
+    8,
+])
+def test_sharded_supernodal_matches_single(ndev):
+    """Sparse-interior sharded solver (round 5: supernodal partial
+    elimination per shard, separator Schur psum — NestedDissection-inl.h
+    analog) must match the single-device dense damped-GN delta exactly."""
+    from gtsam_tpu.parallel import sharded_supernodal
+    n_poses = 48
+    graph, values, ki, kj = _make_pose_graph(n_poses)
+    lam = 1e-3
+    H, g = graph.bind(values).gn_system(values.arrays)
+    H = np.asarray(H, dtype=np.float64)
+    g = np.asarray(g, dtype=np.float64)
+    delta_ref = np.linalg.solve(H + lam * np.eye(H.shape[0]), g)
+
+    mesh = Mesh(np.array(jax.devices()[:ndev]).reshape(ndev), ("blocks",))
+    st = sharded_posegraph.ShardedPoseGraphStructure.build(
+        ki, kj, n_poses, ndev)
+    solver = sharded_supernodal.make_sharded_supernodal_solver(
+        mesh, st, graph, values)
+    delta = np.asarray(solver(values.arrays, jnp.asarray(lam)))
+    scale = max(1.0, np.abs(delta_ref).max())
+    np.testing.assert_allclose(delta, delta_ref, atol=1e-8 * scale,
+                               rtol=1e-7)
