@@ -622,12 +622,14 @@ class ISAM2Tree:
         H, g = self._assemble_incremental()
         plans, sig = self._refactor_plans(new_sids)
         refactor = self._refactor_program(sig)
+        plans = jax.tree.map(lambda *xs: jnp.stack(xs), *plans)
         (self.Lb, self.Ubuf, self.Urhs, self.y) = refactor(
             H, g, self.Lb, self.Ubuf, self.Urhs, self.y, plans)
         if self._try_wildfire(new_sids):
             return
         bplans, bsig = self._backward_plans()
         backward = self._backward_program(bsig)
+        bplans = jax.tree.map(lambda *xs: jnp.stack(xs), *bplans)
         x = backward(self.Lb, self.y, bplans)
         self.delta_host = np.array(x[:-1])
 
@@ -661,6 +663,7 @@ class ISAM2Tree:
         if len(live_top) * 4 > max(len(self.snodes), 4):
             return False
         plans, sig = self._top_backward_plans(live_top)
+        plans = jax.tree.map(lambda *xs: jnp.stack(xs), *plans)
         backward = self._backward_program(sig)
         x = np.array(backward(self.Lb, self.y, plans)[:-1])
         top_cols = [v for s in live_top for v in self.snodes[s].cols]
@@ -1227,8 +1230,16 @@ class ISAM2Tree:
 
         @jax.jit
         def refactor(H, g, Lb, Ubuf, Urhs, y, plans):
+            # plans arrive STACKED (leading level axis); the level loop is a
+            # lax.scan, so the compiled program is O(1) in tree depth — the
+            # unrolled version compiled in O(nlev) (measured 60-240 s per new
+            # capacity signature over the TPU tunnel, the round-4/5 ISAM2
+            # tail-latency spikes)
             dt = H.dtype
-            for lp in plans:
+            g_ext0 = jnp.concatenate([g, jnp.zeros((1, d), dtype=dt)])
+
+            def level_body(carry, lp):
+                Lb, Ubuf, Urhs, y = carry
                 S, W = lp["col_vars"].shape
                 F = lp["pad_cols"].shape[1] // d
                 R = F - W
@@ -1256,11 +1267,10 @@ class ISAM2Tree:
                     lp["pad_cols"].astype(dt))
                 # rhs front
                 fr = jnp.zeros((S * F + 1, d), dtype=dt)
-                g_ext = jnp.concatenate([g, jnp.zeros((1, d), dtype=dt)])
                 cm = lp["col_vars"]
                 fr = fr.at[(np.arange(S)[:, None] * F
                             + np.arange(W)[None, :]).reshape(-1)].set(
-                    g_ext[cm].reshape(S * W, d))
+                    g_ext0[cm].reshape(S * W, d))
                 fr = fr.at[lp["er_dst"]].add(Urhs[lp["er_src"]], mode="drop")
                 fr = fr[:-1].reshape(S, F * d)
                 # partial factorization
@@ -1301,6 +1311,10 @@ class ISAM2Tree:
                     0, 1, 3, 2, 4).reshape(S * F * W, d, d)
                 Lb = Lb.at[lp["lo_dst"]].set(Lb_blocks[lp["lo_src"]],
                                              mode="drop")
+                return (Lb, Ubuf, Urhs, y), None
+
+            (Lb, Ubuf, Urhs, y), _ = jax.lax.scan(
+                level_body, (Lb, Ubuf, Urhs, y), plans)
             return Lb, Ubuf, Urhs, y
 
         self._jit_cache[key] = refactor
@@ -1375,9 +1389,12 @@ class ISAM2Tree:
 
         @jax.jit
         def backward(Lb, y, plans):
+            # stacked level plans + lax.scan: program size O(1) in depth
+            # (same conversion as the refactor program)
             dt = Lb.dtype
-            x = jnp.zeros((n_cap + 1, d), dtype=dt)
-            for lp in plans:
+            x0 = jnp.zeros((n_cap + 1, d), dtype=dt)
+
+            def level_body(x, lp):
                 S, W = lp["col_vars"].shape
                 R = lp["row_vars"].shape[1]
                 # dense L_cc per snode (lower grid -> dense)
@@ -1398,6 +1415,9 @@ class ISAM2Tree:
                     transpose_a=True)[..., 0]
                 xb = xs.reshape(S, W, d).reshape(S * W, d)
                 x = x.at[lp["col_vars"].reshape(-1)].set(xb, mode="drop")
+                return x, None
+
+            x, _ = jax.lax.scan(level_body, x0, plans)
             return x
 
         self._jit_cache[key] = backward
