@@ -390,7 +390,19 @@ class ISAM2Tree:
 
     # -- update --------------------------------------------------------------
 
-    def update(self, new_batches=(), new_entries=(), force_full: bool = False):
+    def update(self, new_batches=(), new_entries=(), force_full: bool = False,
+               no_relin_keys=(), extra_reelim_keys=(),
+               force_relinearize: bool = False):
+        """One incremental update.
+
+        ISAM2UpdateParams analog knobs (gtsam/nonlinear/ISAM2UpdateParams.h):
+        - no_relin_keys: keys whose linearization point must NOT move this
+          update even if their delta exceeds the threshold (noRelinKeys)
+        - extra_reelim_keys: keys to force into the re-eliminated top even
+          when untouched (extraReelimKeys)
+        - force_relinearize: run the relin check this update regardless of
+          relinearize_skip (ISAM2UpdateParams::force_relinearize)
+        """
         new_vids = []
         for (k, t, v) in new_entries:
             vid = self._add_value(k, t, v)
@@ -399,17 +411,25 @@ class ISAM2Tree:
         touched = set(new_vids)
         for b in new_batches:
             touched |= self._add_factors(b)
+        for k in extra_reelim_keys:
+            vid = self.key_to_vid.get(int(k))
+            if vid is not None:
+                touched.add(int(vid))
         self.update_count += 1
 
         # relinearization: every relin_skip updates, move theta for big deltas
+        no_relin_vids = {self.key_to_vid[int(k)] for k in no_relin_keys
+                         if int(k) in self.key_to_vid}
         relin_vids = set()
         if (self.update_count > 1 and
-                self.update_count % self.relin_skip == 0 and
+                (force_relinearize or
+                 self.update_count % self.relin_skip == 0) and
                 len(self.delta_host)):
             mags = np.max(np.abs(self.delta_host), axis=1)
             relin_vids = {int(v) for v in np.where(
                 mags > self.relin_threshold)[0]
-                if self.snode_of[v] >= 0 and not self._frozen_vid(v)}
+                if self.snode_of[v] >= 0 and not self._frozen_vid(v)
+                and int(v) not in no_relin_vids}
             if relin_vids:
                 self._apply_relin(relin_vids)
                 for v in relin_vids:

@@ -1,6 +1,7 @@
 """ISAM2Tree: incremental == batch equivalence (the reference's core oracle,
 tests/testGaussianISAM2.cpp) plus marginalization behavior."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -280,3 +281,61 @@ def test_mixed_types_with_padded_supernodes():
                               gt.noise.isotropic(1, 0.3))],
             [(k, "SE2", np.asarray([float(k), 0.0, 0.0]))])
         assert np.isfinite(isam.delta_host[:isam.nvar]).all()
+
+
+class TestUpdateParamsKnobs:
+    """ISAM2UpdateParams analog knobs (ISAM2UpdateParams.h): noRelinKeys /
+    extraReelimKeys / force_relinearize."""
+
+    def _chain(self, isam, n=12, noise=0.3):
+        rng = np.random.default_rng(4)
+        isam.update([gt.prior_factors("SE2", [0], jnp.zeros((1, 3)),
+                                      gt.noise.sigmas([[1e-3] * 3]))],
+                    [(0, "SE2", jnp.zeros(3))])
+        for i in range(1, n):
+            meas = np.array([1.0, 0.0, 0.0])
+            isam.update(
+                [factors_mod.between_factors(
+                    "SE2", np.asarray([i - 1]), np.asarray([i]),
+                    jnp.asarray([meas]), gt.noise.sigmas([[0.1, 0.1, 0.05]]))],
+                [(i, "SE2", jnp.asarray([float(i), 0.0, 0.0])
+                  + rng.normal(0, noise, 3))])
+        return isam
+
+    def test_no_relin_keys_pins_linearization_point(self):
+        isam = ISAM2Tree(relinearize_threshold=0.01, relinearize_skip=1)
+        isam = self._chain(isam, n=10)
+        # record current linearization points
+        theta_before = {k: np.asarray(jax.tree.leaves(
+            jax.tree.map(lambda a: a[isam.var_row[isam.key_to_vid[k]]],
+                         isam.var_arrays["SE2"]))[0]) for k in (3, 4)}
+        # a big loop-closure residual forces relinearization of everything
+        # except the pinned keys
+        isam.update(
+            [factors_mod.between_factors(
+                "SE2", np.asarray([0]), np.asarray([9]),
+                jnp.asarray([[9.0, 0.5, 0.0]]),
+                gt.noise.sigmas([[0.05, 0.05, 0.02]]))],
+            no_relin_keys=[3], force_relinearize=True)
+        theta_after = {k: np.asarray(jax.tree.leaves(
+            jax.tree.map(lambda a: a[isam.var_row[isam.key_to_vid[k]]],
+                         isam.var_arrays["SE2"]))[0]) for k in (3, 4)}
+        # pinned key 3 did not move; unpinned neighbours were free to
+        assert np.allclose(theta_before[3], theta_after[3])
+        # estimate still converges to the batch answer
+        est = isam.calculate_estimate()
+        assert np.isfinite(np.asarray(est.at(9))).all()
+
+    def test_extra_reelim_keys_accepted(self):
+        isam = ISAM2Tree(relinearize_threshold=0.1, relinearize_skip=10)
+        isam = self._chain(isam, n=8, noise=0.05)
+        d0 = isam.update(
+            [factors_mod.between_factors(
+                "SE2", np.asarray([6]), np.asarray([7]),
+                jnp.asarray([[1.0, 0.0, 0.0]]),
+                gt.noise.sigmas([[0.1, 0.1, 0.05]]))],
+            extra_reelim_keys=[1, 2])
+        assert np.isfinite(d0).all()
+        # batch equivalence after the forced re-elimination
+        est = isam.calculate_estimate()
+        assert abs(float(np.asarray(est.at(7))[0]) - 7.0) < 0.5
