@@ -38,3 +38,65 @@ def test_qps_parse_structure():
     assert p.c[0] == 1.5 and p.c[1] == -2.0
     # r1 (G), r2 (L -> negated), LO defaults on both vars, UP on c1
     assert p.A_in.shape[0] == 2 + 2 + 1
+
+
+import numpy as np
+
+
+def test_qmatrix_both_triangles_not_double_counted(tmp_path):
+    """QMATRIX lists BOTH triangles; entries must be assigned one-sided
+    (round-5 advisor fix) — mirroring QUADOBJ's lower-triangle convention
+    would double every cross term."""
+    txt = """NAME          T1
+ROWS
+ N  obj
+ G  c1
+COLUMNS
+    x1  obj  1.0  c1  1.0
+    x2  obj  1.0  c1  1.0
+RHS
+    rhs  c1  1.0
+QMATRIX
+    x1  x1  2.0
+    x1  x2  1.0
+    x2  x1  1.0
+    x2  x2  2.0
+BOUNDS
+ FR bnd x1
+ FR bnd x2
+ENDATA
+"""
+    p = tmp_path / "t1.qps"
+    p.write_text(txt)
+    from gtsam_tpu.linear.qps import parse_qps
+    prob = parse_qps(str(p))
+    np.testing.assert_allclose(prob.Q, [[2.0, 1.0], [1.0, 2.0]])
+
+
+def test_ranges_on_equality_row(tmp_path):
+    """A RANGES entry on an E row makes it two-sided b <= ax <= b+r
+    (round-5 advisor fix; previously parsed as an over-constrained
+    equality)."""
+    txt = """NAME          T2
+ROWS
+ N  obj
+ E  e1
+COLUMNS
+    x1  obj  1.0  e1  1.0
+RHS
+    rhs  e1  2.0
+RANGES
+    rng  e1  3.0
+ENDATA
+"""
+    p = tmp_path / "t2.qps"
+    p.write_text(txt)
+    from gtsam_tpu.linear.qps import parse_qps
+    prob = parse_qps(str(p))
+    assert len(prob.A_eq) == 0
+    # two inequality rows from the range plus the default x1 >= 0 bound
+    assert len(prob.A_in) == 3
+    # min x1 s.t. 2 <= x1 <= 5 -> 2 (objective c = [1])
+    from gtsam_tpu.linear.qps import solve_qps
+    _, res, obj = solve_qps(str(p))
+    assert res.converged and abs(obj - 2.0) < 1e-6
