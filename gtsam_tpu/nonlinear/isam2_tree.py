@@ -639,19 +639,44 @@ class ISAM2Tree:
     # -- numeric execution ---------------------------------------------------
 
     def _execute(self, new_sids):
+        import os as _os
+        import time as _time
+        _dbg = _os.environ.get("GTSAM_TPU_ISAM_DEBUG")
+        _t0 = _time.time()
         H, g = self._assemble_incremental()
+        if _dbg:
+            jax.block_until_ready(H)
+            print(f"  [isam asm {_time.time()-_t0:.3f}s]", flush=True)
+            _t0 = _time.time()
         plans, sig = self._refactor_plans(new_sids)
         refactor = self._refactor_program(sig)
         plans = jax.tree.map(lambda *xs: jnp.stack(xs), *plans)
+        if _dbg:
+            jax.block_until_ready(plans)
+            print(f"  [isam rplan {_time.time()-_t0:.3f}s]", flush=True)
+            _t0 = _time.time()
         (self.Lb, self.Ubuf, self.Urhs, self.y) = refactor(
             H, g, self.Lb, self.Ubuf, self.Urhs, self.y, plans)
+        if _dbg:
+            jax.block_until_ready(self.y)
+            print(f"  [isam refactor {_time.time()-_t0:.3f}s]", flush=True)
+            _t0 = _time.time()
         if self._try_wildfire(new_sids):
+            if _dbg:
+                print(f"  [isam wildfire {_time.time()-_t0:.3f}s]",
+                      flush=True)
             return
         bplans, bsig = self._backward_plans()
         backward = self._backward_program(bsig)
         bplans = jax.tree.map(lambda *xs: jnp.stack(xs), *bplans)
+        if _dbg:
+            jax.block_until_ready(bplans)
+            print(f"  [isam bplan {_time.time()-_t0:.3f}s]", flush=True)
+            _t0 = _time.time()
         x = backward(self.Lb, self.y, bplans)
         self.delta_host = np.array(x[:-1])
+        if _dbg:
+            print(f"  [isam backward {_time.time()-_t0:.3f}s]", flush=True)
 
     def _try_wildfire(self, new_sids) -> bool:
         """Top-only backward + interface threshold test (wildfire analog).
@@ -1104,62 +1129,82 @@ class ISAM2Tree:
             # solve (hit with mixed-dim graphs where S_u > len(sids))
             pad_cols[len(sids):, :] = 1.0
             valid_piv = np.zeros((S, W * d), dtype=bool)
+            if not hasattr(self, "_var_dim_arr") or \
+                    len(self._var_dim_arr) < self.n_cap + 1:
+                self._var_dim_arr = np.array(
+                    [manifolds.get(t).dim for t in self.var_type]
+                    + [d] * (self.n_cap + 1 - len(self.var_type)),
+                    dtype=np.int64)
+            slot_of = np.zeros(self.n_cap + 1, dtype=np.int64)
             for si, sid in enumerate(sids):
                 s = self.snodes[sid]
                 cols, rows = s.cols, s.rows
                 w, r = len(cols), len(rows)
-                fvars = cols + rows
+                cols_a = np.asarray(cols, dtype=np.int64)
+                rows_a = np.asarray(rows, dtype=np.int64)
                 # front SLOT of each fvar: cols at [0, w), rows at [W, W+r) —
                 # when w < W (padded width bucket) the row region still starts
-                # at W, NOT at w; placing rows at their fvar index would land
-                # them inside padded column slots and make Fcc indefinite
-                fslot = {v: (i if i < w else W + (i - w))
-                         for i, v in enumerate(fvars)}
-                slots = [fslot[v] for v in fvars]
-                for a in range(w):
-                    col_vars[si, a] = cols[a]
-                    dim = manifolds.get(self.var_type[cols[a]]).dim
-                    valid_piv[si, a * d:a * d + dim] = True
-                    pad_cols[si, a * d + dim:(a + 1) * d] = 1.0
-                for a in range(w, W):
-                    pad_cols[si, a * d:(a + 1) * d] = 1.0
-                # A-block gather: lower strip (slot_i >= slot_j, fj < w).
-                # Stored blocks hold H[later, earlier]; front order IS
-                # elimination order, so (fi > fj) already matches — no flips.
-                for fj in range(w):
-                    for fi in range(fj, w + r):
-                        va, vb = fvars[fi], fvars[fj]
-                        a_pos.append((si * F + slots[fi]) * W + fj)
-                        a_blk.append(self._blk_get(va, vb))
-                # extend-add children U and u_rhs
+                # at W, NOT at w (rows inside padded column slots would make
+                # Fcc indefinite).  slot_of is a scratch lookup; entries are
+                # written immediately before every read, so staleness across
+                # snodes is harmless.
+                slot_of[cols_a] = np.arange(w)
+                slot_of[rows_a] = W + np.arange(r)
+                col_vars[si, :w] = cols_a
+                dims = self._var_dim_arr[cols_a]               # (w,)
+                lane = np.arange(d)[None, :]
+                valid_piv[si, :w * d] = (lane < dims[:, None]).reshape(-1)
+                pad_cols[si, :w * d] = (lane >= dims[:, None]).reshape(-1)
+                pad_cols[si, w * d:W * d] = 1.0   # padded col slots only —
+                # the row region of the front diag stays 0 for real snodes
+                # A-block gather + L-block output: lower strip
+                # (slot_i >= slot_j, fj < w).  _snode_blocks caches the
+                # block-slot grids, so this is pure numpy (the per-pair
+                # python loops + dict lookups here were 10+ s per update at
+                # late-stage caps — the round-5 p50 regression)
+                bd, bp = self._snode_blocks(s)      # (w,w) lower, (r,w)
+                ii, jj = np.tril_indices(w)
+                pos_d = (si * F + ii) * W + jj
+                blk_d = bd[ii, jj]
+                ar = np.arange(r)[:, None]
+                bw = np.arange(w)[None, :]
+                pos_p = ((si * F + W + ar) * W + bw).reshape(-1)
+                blk_p = bp.reshape(-1)
+                a_pos.extend(pos_d)
+                a_pos.extend(pos_p)
+                a_blk.extend(blk_d)
+                a_blk.extend(blk_p)
+                lo_src.extend(pos_d)
+                lo_src.extend(pos_p)
+                lo_dst.extend(blk_d)
+                lo_dst.extend(blk_p)
+                # extend-add children U and u_rhs (tril order matches the
+                # row-major k loop that assigned u_slots)
                 for c in s.children:
                     cs = self.snodes[c]
-                    cmap = [fslot[v] for v in cs.rows]
-                    k = 0
-                    for a in range(len(cs.rows)):
-                        for b in range(a + 1):
-                            fi, fj = cmap[a], cmap[b]
-                            if fi < fj:
-                                fi, fj = fj, fi
-                            e_src.append(int(cs.u_slots[k]))
-                            e_dst.append((si * F + fi) * F + fj)
-                            k += 1
-                        er_src.append(int(cs.urhs_slots[a]))
-                        er_dst.append(si * F + cmap[a])
-                # outputs: L blocks (within + panel), U, u_rhs, y
-                for fj in range(w):
-                    for fi in range(fj, w + r):
-                        va, vb = fvars[fi], fvars[fj]
-                        lo_src.append((si * F + slots[fi]) * W + fj)
-                        lo_dst.append(self._blk_get(va, vb))
-                k = 0
-                for a in range(r):
-                    for b in range(a + 1):
-                        uo_src.append((si * R + a) * R + b)
-                        uo_dst.append(int(s.u_slots[k]))
-                        k += 1
-                    yro_src.append(si * R + a)
-                    yro_dst.append(int(s.urhs_slots[a]))
+                    if not cs.rows:
+                        continue
+                    cr = np.asarray(cs.rows, dtype=np.int64)
+                    cmap = slot_of[cr]
+                    rc = len(cr)
+                    ca, cb = np.tril_indices(rc)
+                    fi = np.maximum(cmap[ca], cmap[cb])
+                    fj = np.minimum(cmap[ca], cmap[cb])
+                    e_src.extend(np.asarray(cs.u_slots[:len(ca)],
+                                            dtype=np.int64))
+                    e_dst.extend((si * F + fi) * F + fj)
+                    er_src.extend(np.asarray(cs.urhs_slots[:rc],
+                                             dtype=np.int64))
+                    er_dst.extend(si * F + cmap)
+                # outputs: U, u_rhs, y (childless roots carry no U slots)
+                if r > 0:
+                    ua, ub = np.tril_indices(r)
+                    uo_src.extend((si * R + ua) * R + ub)
+                    uo_dst.extend(np.asarray(s.u_slots[:len(ua)],
+                                             dtype=np.int64))
+                    yro_src.extend(si * R + np.arange(r))
+                    yro_dst.extend(np.asarray(s.urhs_slots[:r],
+                                              dtype=np.int64))
             raw_levels.append(dict(
                 a_pos=a_pos, a_blk=a_blk, e_src=e_src, e_dst=e_dst,
                 er_src=er_src, er_dst=er_dst, uo_src=uo_src, uo_dst=uo_dst,
