@@ -45,6 +45,14 @@ from ..inference import ordering as ordering_mod
 from ..inference import supernodes as sn_mod
 
 
+def _stack_plans(plans):
+    """Stack per-level HOST plan dicts and ship each field in ONE transfer
+    (per-level jnp arrays cost ~17 arrays x nlev tunnel round-trips per
+    update — measured as a flat ~2.6 s p50 floor at late-stage caps)."""
+    return {k: jnp.asarray(np.stack([np.asarray(p[k]) for p in plans]))
+            for k in plans[0]}
+
+
 def _pow2(n, lo=4):
     c = lo
     while c < n:
@@ -214,6 +222,20 @@ class ISAM2Tree:
         # irregular graphs, cf. reference ISAM2.cpp:116-249 which has no
         # compile step at all)
         self._mono: Dict[str, int] = {}
+
+    def _np_full(self, shape, fill, dtype="int32"):
+        """Cached constant HOST array for plan padding (stacked + shipped
+        once per field per update)."""
+        key = ("np", shape, float(fill), dtype)
+        cache = getattr(self, "_const_cache", None)
+        if cache is None:
+            cache = self._const_cache = {}
+        out = cache.get(key)
+        if out is None:
+            out = np.full(shape, fill, dtype=dtype)
+            out.setflags(write=False)
+            cache[key] = out
+        return out
 
     def _const_full(self, shape, fill, dtype="int32"):
         """Cached constant device array (plan padding is rebuilt every
@@ -668,7 +690,7 @@ class ISAM2Tree:
             return
         bplans, bsig = self._backward_plans()
         backward = self._backward_program(bsig)
-        bplans = jax.tree.map(lambda *xs: jnp.stack(xs), *bplans)
+        bplans = _stack_plans(bplans)
         if _dbg:
             jax.block_until_ready(bplans)
             print(f"  [isam bplan {_time.time()-_t0:.3f}s]", flush=True)
@@ -708,7 +730,7 @@ class ISAM2Tree:
         if len(live_top) * 4 > max(len(self.snodes), 4):
             return False
         plans, sig = self._top_backward_plans(live_top)
-        plans = jax.tree.map(lambda *xs: jnp.stack(xs), *plans)
+        plans = _stack_plans(plans)
         backward = self._backward_program(sig)
         x = np.array(backward(self.Lb, self.y, plans)[:-1])
         top_cols = [v for s in live_top for v in self.snodes[s].cols]
@@ -758,17 +780,17 @@ class ISAM2Tree:
                 diag_ids[si, ii, jj] = bd[ii, jj]
                 panel_ids[si, :r, :w] = bp
             plans.append(dict(
-                diag_ids=jnp.asarray(diag_ids),
-                panel_ids=jnp.asarray(panel_ids),
-                col_vars=jnp.asarray(col_vars),
-                row_vars=jnp.asarray(row_vars),
+                diag_ids=diag_ids,
+                panel_ids=panel_ids,
+                col_vars=col_vars,
+                row_vars=row_vars,
             ))
         while len(plans) < nlev_cap:
             plans.append(dict(
-                diag_ids=self._const_full((S_u, W_u, W_u), self.B_cap),
-                panel_ids=self._const_full((S_u, R_u, W_u), self.B_cap),
-                col_vars=self._const_full((S_u, W_u), self.n_cap),
-                row_vars=self._const_full((S_u, R_u), self.n_cap),
+                diag_ids=self._np_full((S_u, W_u, W_u), self.B_cap),
+                panel_ids=self._np_full((S_u, R_u, W_u), self.B_cap),
+                col_vars=self._np_full((S_u, W_u), self.n_cap),
+                row_vars=self._np_full((S_u, R_u), self.n_cap),
             ))
         return plans, (nlev_cap, S_u, W_u, R_u)
 
@@ -1225,9 +1247,8 @@ class ISAM2Tree:
 
         def pad(a, cap, sent):
             a = np.asarray(a, dtype=np.int64)
-            return jnp.asarray(
-                np.pad(a, (0, cap - len(a)), constant_values=sent),
-                dtype=jnp.int32)
+            return np.pad(a, (0, cap - len(a)),
+                          constant_values=sent).astype(np.int32)
 
         for rl in raw_levels:
             plans.append(dict(
@@ -1245,15 +1266,15 @@ class ISAM2Tree:
                 yro_dst=pad(rl["yro_dst"], YR, self.UR_cap + 1),
                 lo_src=pad(rl["lo_src"], L, 0),
                 lo_dst=pad(rl["lo_dst"], L, self.B_cap + 1),    # OOB -> drop
-                col_vars=jnp.asarray(rl["col_vars"]),
-                pad_cols=jnp.asarray(rl["pad_cols"]),
-                valid_piv=jnp.asarray(rl["valid_piv"]),
+                col_vars=rl["col_vars"],
+                pad_cols=rl["pad_cols"],
+                valid_piv=rl["valid_piv"],
             ))
             sig.append((S, W, R, E, ER, A, L, Uo, YR))
         # pad the level list to a MONOTONE pow2 count with no-op dummy levels
         # so the refactor program signature stays stable across updates
         nlev_cap = self._mono_cap("rf_nlev", _pow2(max(len(plans), 1), 1))
-        zero = lambda cap, sent: self._const_full((cap,), sent)
+        zero = lambda cap, sent: self._np_full((cap,), sent)
         while len(plans) < nlev_cap:
             plans.append(dict(
                 a_pos=zero(A, S * F * W),
@@ -1268,9 +1289,9 @@ class ISAM2Tree:
                 yro_dst=zero(YR, self.UR_cap + 1),
                 lo_src=zero(L, 0),
                 lo_dst=zero(L, self.B_cap + 1),
-                col_vars=self._const_full((S, W), self.n_cap),
-                pad_cols=self._const_full((S, F * self.d), 1, "float64"),
-                valid_piv=self._const_full((S, W * self.d), 0, "bool"),
+                col_vars=self._np_full((S, W), self.n_cap),
+                pad_cols=self._np_full((S, F * self.d), 1, "float64"),
+                valid_piv=self._np_full((S, W * self.d), 0, "bool"),
             ))
             sig.append((S, W, R, E, ER, A, L, Uo, YR))
         return plans, tuple(sig)
@@ -1430,17 +1451,17 @@ class ISAM2Tree:
                 diag_ids[si, ii, jj] = bd[ii, jj]
                 panel_ids[si, :r, :w] = bp
             plans.append(dict(
-                diag_ids=jnp.asarray(diag_ids),
-                panel_ids=jnp.asarray(panel_ids),
-                col_vars=jnp.asarray(col_vars),
-                row_vars=jnp.asarray(row_vars),
+                diag_ids=diag_ids,
+                panel_ids=panel_ids,
+                col_vars=col_vars,
+                row_vars=row_vars,
             ))
         while len(plans) < nlev_cap:   # no-op dummy levels
             plans.append(dict(
-                diag_ids=self._const_full((S_u, W_u, W_u), self.B_cap),
-                panel_ids=self._const_full((S_u, R_u, W_u), self.B_cap),
-                col_vars=self._const_full((S_u, W_u), self.n_cap),
-                row_vars=self._const_full((S_u, R_u), self.n_cap),
+                diag_ids=self._np_full((S_u, W_u, W_u), self.B_cap),
+                panel_ids=self._np_full((S_u, R_u, W_u), self.B_cap),
+                col_vars=self._np_full((S_u, W_u), self.n_cap),
+                row_vars=self._np_full((S_u, R_u), self.n_cap),
             ))
         sig = (nlev_cap, S_u, W_u, R_u)
         return plans, sig
