@@ -176,8 +176,21 @@ class DiscreteFactorGraph:
         return assignment
 
     def marginals(self, key: int) -> jnp.ndarray:
-        """Marginal P(key) by eliminating everything else (DiscreteMarginals)."""
-        joint = self.product()
+        """Marginal P(key) by sum-product elimination of every other key
+        (DiscreteMarginals analog).  Elimination — not a full joint product —
+        so long chains / trees stay O(k^treewidth) instead of O(k^n)."""
+        factors = list(self.factors)
+        for other in self.keys():
+            if other == key:
+                continue
+            involved = [f for f in factors if other in f.keys]
+            if not involved:
+                continue
+            _, marg = eliminate_sum(involved, other)
+            factors = [f for f in factors if other not in f.keys]
+            if marg.keys:
+                factors.append(marg)
+        joint = product([f for f in factors if key in f.keys])
         keys, cards, t = _split_frontal(joint, key)
         m = jnp.sum(t.reshape(t.shape[0], -1), axis=1)
         return m / jnp.sum(m)

@@ -35,7 +35,13 @@ class Marginals:
         else:
             H, _ = jax.jit(bound.gn_system)(values.arrays)
             self._H = H
-            self._cov = jnp.linalg.inv(H)
+            # Cholesky-based SPD inverse: H is an information matrix, and
+            # libtpu has no f64 LU expansion (jnp.linalg.inv fails to compile
+            # on-device) while triangular solves lower fine at any dtype.
+            L = jnp.linalg.cholesky(H)
+            eye = jnp.eye(H.shape[0], dtype=H.dtype)
+            Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+            self._cov = Linv.T @ Linv
             self._solver = None
 
     def _slice(self, key):
@@ -72,4 +78,7 @@ class Marginals:
         return xs[:, jnp.asarray(idx)].T
 
     def marginal_information(self, key) -> jnp.ndarray:
-        return jnp.linalg.inv(self.marginal_covariance(key))
+        # host inverse: the block is tiny (manifold dim) and f64 LU does not
+        # lower on libtpu
+        return jnp.asarray(np.linalg.inv(
+            np.asarray(self.marginal_covariance(key))))
