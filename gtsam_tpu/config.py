@@ -35,7 +35,14 @@ _cache_dir = os.environ.get(
 if _cache_dir:
     try:
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # threshold 0: on a tunneled TPU backend even trivial eager ops
+        # (convert_element_type, concatenate, scatter dispatched outside jit)
+        # cost ~0.4 s EACH to compile remotely — under the default 0.5 s gate
+        # none of them persisted, so every process paid the full storm again
+        # (measured: 132 sub-gate compiles = ~50 s of a 10-update ISAM2 run;
+        # a persistent-cache hit is ~80 ms)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:  # older jax without these flags
         pass
 
